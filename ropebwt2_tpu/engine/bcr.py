@@ -1,0 +1,356 @@
+"""Batched BCR construction on device: the TPU-native re-expression of
+mr_insert_multi (mrope.c:258-345).
+
+One round inserts the d-th symbol (from the end) of every active read.  The
+reference walks six B+-trees run by run with progressive coordinates; here a
+round is a fixed dataflow of vectorized primitives:
+
+  1. stable counting sort of read states by destination partition ("bucket")
+  2. group detection (runs of equal interval-u within a bucket — the
+     `a[k].u != a[k-1].u` grouping of mrope.c:192)
+  3. two batched 6-symbol rank queries per group (rope_rank2a equivalent)
+  4. closed-form per-group insertion-point arithmetic in START-OF-ROUND
+     coordinates (the paper's Algorithm 2/3 arithmetic, mrope.c:204-224, made
+     order-free: X_s = L + sum of interval symbol counts that sort before s
+     in the insertion order $,A,C,G,T,N — or $,T,G,C,A,N for RCLO)
+  5. one coalesced merge pass applying every insertion at once
+  6. interval update l' = TL[s] + P[s] + AC[s] folding in the cross-bucket
+     rebase (mrope.c:332-340): P = same-partition insertions by earlier
+     groups, AC = counts (incl. this round) of s in lower partitions.
+
+Correctness of the start-of-round coordinate transform relies on the
+invariants of the reference algorithm: within a bucket, group intervals are
+pairwise disjoint and non-decreasing, interval contents are sorted in the
+insertion order (the RLO/RCLO sortedness property; for IO all intervals are
+empty), and insertions of earlier groups land at positions <= later groups'
+intervals.  Tie order is tracked explicitly per insertion.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..alphabet import NSYM
+from ..oracle import SO_IO, SO_RCLO, SO_RLO
+from ..index.flat import FlatBwt, empty_state, grow_state, PAD
+from ..index.merge import apply_insertions
+from ..index.rank import build_block_tables, rank_global
+
+I64 = jnp.int64
+I32 = jnp.int32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ReadStates:
+    """Per-read BCR state (the reference's triple64_t, mrope.c:174-178).
+    Maintained in 'array order', re-permuted by the bucket sort each round.
+    Rows with slen < 0 are padding and stay inert at the array front."""
+
+    l: jax.Array  # int64[M] interval lower bound, local to partition c
+    u: jax.Array  # int64[M] interval upper bound
+    c: jax.Array  # int32[M] last inserted symbol = next insertion's partition
+    off: jax.Array  # int64[M] read start in the sequence buffer
+    slen: jax.Array  # int32[M] read length; < 0 for padding rows
+
+
+def _insertion_order(so):
+    """Symbol emission order within a group: $ first, then A..T (or T..A for
+    RCLO), then N (mrope.c:206-224). Returns em[s] = emission rank of s."""
+    mid = (4, 3, 2, 1) if so == SO_RCLO else (1, 2, 3, 4)
+    em = [0] * NSYM
+    em[0] = 0
+    for i, s in enumerate(mid):
+        em[s] = i + 1
+    em[5] = 5
+    return tuple(em)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "so"), donate_argnums=(0, 1))
+def bcr_round(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so):
+    """One BCR round: insert the d-th (from read end) symbol of every active
+    read. Returns (new_state, new_reads, n_inserted)."""
+    M = reads.l.shape[0]
+    em = jnp.asarray(_insertion_order(so), dtype=I32)
+    arange_m = jnp.arange(M, dtype=I32)
+
+    # ---- 1. stable counting sort by bucket (mrope.c:303-310) ----
+    dead = reads.slen < 0
+    key = jnp.where(dead, 0, reads.c)
+    onehot_key = (key[:, None] == jnp.arange(NSYM, dtype=I32)[None, :]).astype(
+        I32
+    )
+    csum_key = jnp.cumsum(onehot_key, axis=0)
+    totals = csum_key[-1]
+    base = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(totals)[:-1]])
+    dest = base[key] + jnp.take_along_axis(
+        csum_key, key[:, None], axis=1
+    ).squeeze(1) - 1
+    perm = jnp.zeros(M, I32).at[dest].set(arange_m)
+
+    l = reads.l[perm]
+    u = reads.u[perm]
+    c = reads.c[perm]
+    off = reads.off[perm]
+    slen = reads.slen[perm]
+    dead = slen < 0
+
+    # done: the sentinel was inserted in an earlier round (bucket 0). In the
+    # very first round every real read is active with c == 0 (the first
+    # column goes to partition 0, mrope.c:279-285).
+    inert = dead | (jnp.logical_not(is_first) & (c == 0))
+    active = jnp.logical_not(inert)
+
+    # ---- next symbol of each read (reads are stored reversed) ----
+    sym = jnp.where(
+        d < slen,
+        buf[jnp.clip(off + d, 0, buf.shape[0] - 1)].astype(I32),
+        0,
+    )
+    sym = jnp.where(active, sym, 0)
+
+    # ---- 2. groups: runs of equal (inert, bucket, u) ----
+    prev_c = jnp.roll(c, 1)
+    prev_u = jnp.roll(u, 1)
+    prev_inert = jnp.roll(inert, 1)
+    head = (
+        (arange_m == 0)
+        | (c != prev_c)
+        | (u != prev_u)
+        | (inert != prev_inert)
+    )
+    gid = jnp.cumsum(head.astype(I32)) - 1
+    headidx = jax.lax.cummax(jnp.where(head, arange_m, 0))
+    bucket_head = (arange_m == 0) | (c != prev_c) | (inert != prev_inert)
+    bktheadidx = jax.lax.cummax(jnp.where(bucket_head, arange_m, 0))
+
+    # Stored intervals are in PROGRESSIVE coordinates (the reference inserts
+    # group by group; a group's stored position already counts every
+    # insertion made into its partition by earlier groups of the same round,
+    # all of which land before it).  E = #reads in earlier groups of this
+    # bucket recovers start-of-round coordinates, in which the old buffer
+    # and its rank tables live.
+    E = (headidx - bktheadidx).astype(I64)
+    L = l[headidx] - E
+    U = u[headidx] - E
+
+    # ---- 3. batched rank2a at the group interval ends ----
+    poff = jnp.concatenate(
+        [jnp.zeros(1, I64), jnp.cumsum(state.psize)[:-1]]
+    )  # partition offsets
+    pprefix = jnp.concatenate(
+        [
+            jnp.zeros((1, NSYM), I64),
+            jnp.cumsum(state.pcounts, axis=0)[:-1],
+        ]
+    )  # pprefix[b, s] = count of s in partitions < b
+    gLq = poff[c] + L
+    gUq = poff[c] + U
+    TL = rank_global(state.bwt, state.blk_prefix, gLq, K) - pprefix[c]
+    TU = rank_global(state.bwt, state.blk_prefix, gUq, K) - pprefix[c]
+    delta = TU - TL  # (M,6): per-symbol count inside the group interval
+
+    # ---- 4. insertion points per symbol, start-of-round local coords ----
+    # X[:, s] = L + sum of delta over symbols emitted before s.
+    order = [0] + ([4, 3, 2, 1] if so == SO_RCLO else [1, 2, 3, 4]) + [5]
+    xcols = [None] * NSYM
+    running = L
+    for s in order:
+        xcols[s] = running
+        running = running + delta[:, s]
+    X = jnp.stack(xcols, axis=1)  # (M,6)
+
+    take_sym = lambda t: jnp.take_along_axis(  # noqa: E731
+        t, sym[:, None].astype(I32), axis=1
+    ).squeeze(1)
+
+    gX = poff[c] + take_sym(X)  # global old-coord insertion point per read
+
+    # ---- per-row / per-group combinatorics ----
+    oh = (sym[:, None] == jnp.arange(NSYM, dtype=I32)[None, :]) & active[
+        :, None
+    ]
+    oh32 = oh.astype(I32)
+    csum = jnp.cumsum(oh32, axis=0)  # inclusive
+    excl = csum - oh32
+    grp_start = excl[headidx]  # counts before this group
+    bkt_start = excl[jax.lax.cummax(jnp.where(bucket_head, arange_m, 0))]
+    P = (grp_start - bkt_start).astype(I64)  # earlier groups, same bucket
+
+    cnt_g = jax.ops.segment_sum(oh32, gid, num_segments=M)  # (M,6) per group
+    cnt_row = cnt_g[gid]
+
+    ins_bucket = jax.ops.segment_sum(
+        oh32, jnp.where(active, c, NSYM - 1), num_segments=NSYM
+    ).astype(I64)
+    # rows sent to segment 5 when inactive contribute zero (oh masked)
+    ac_excl = jnp.concatenate(
+        [
+            jnp.zeros((1, NSYM), I64),
+            jnp.cumsum(state.pcounts + ins_bucket, axis=0)[:-1],
+        ]
+    )  # (6,6): counts of s in partitions < b after this round
+
+    # ---- global tie rank (stream index) of each read's insertion ----
+    em_lt = (em[None, :] < em[:, None]).astype(I32)  # em_lt[a, b] = em_b < em_a
+    before_in_group = jnp.sum(
+        cnt_row * em_lt[sym], axis=1
+    )  # symbols of this group emitted before ours
+    rank_in_run = take_sym(excl) - take_sym(grp_start)
+    n_inert = jnp.sum(inert.astype(I32))
+    stream = (
+        (headidx - n_inert).astype(I64)
+        + before_in_group.astype(I64)
+        + rank_in_run.astype(I64)
+    )
+
+    # ---- 5. merge ----
+    new_bwt = apply_insertions(
+        state.bwt, state.n, gX, sym, stream, active
+    )
+
+    # ---- 6. interval update (+ fused cross-bucket rebase) ----
+    l_new = take_sym(TL) + take_sym(P) + take_sym(ac_excl[c])
+    u_new = l_new + take_sym(delta)
+    l = jnp.where(active, l_new, l)
+    u = jnp.where(active, u_new, u)
+    c = jnp.where(active, sym, c)
+
+    n_ins = jnp.sum(active.astype(I64))
+    new_state = FlatBwt(
+        bwt=new_bwt,
+        n=state.n + n_ins,
+        psize=state.psize + jnp.sum(ins_bucket, axis=1),
+        pcounts=state.pcounts + ins_bucket,
+        blk_prefix=build_block_tables(new_bwt, K),
+    )
+    new_reads = ReadStates(l=l, u=u, c=c, off=off, slen=slen)
+    return new_state, new_reads, n_ins
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _pad_pow2(x, lo=16):
+    n = lo
+    while n < x:
+        n *= 2
+    return n
+
+
+class TpuBwt:
+    """Host-side driver: the mrope_t equivalent.
+
+    Capabilities: batched insertion (mr_insert_multi), single-string insertion
+    (insert1, via one-read batches), incremental growth across batches, and
+    export of the BWT / runs for the output formats."""
+
+    def __init__(self, so=SO_IO, K=256):
+        assert so in (SO_IO, SO_RLO, SO_RCLO)
+        self.so = so
+        self.K = K
+        self.state = empty_state(K, K)
+
+    # --- capacity planning ---
+
+    def _plan(self, extra_symbols: int):
+        need = int(self.state.n) + extra_symbols
+        cap = self.state.cap
+        if need > cap:
+            cap = _round_up(_pad_pow2(need, lo=self.K), self.K)
+            self.state = grow_state(self.state, cap, self.K)
+
+    # --- the public insertion API ---
+
+    def insert_multi(self, reads):
+        """Insert a batch of reads column-by-column.  ``reads`` are nt6 code
+        arrays in ORIGINAL orientation; reversal (main.c:200-203) happens
+        here."""
+        m = len(reads)
+        if m == 0:
+            return
+        lens = np.array([len(r) for r in reads], dtype=np.int32)
+        total = int(lens.sum()) + m  # symbols + sentinels
+        self._plan(total)
+
+        mpad = _pad_pow2(m)
+        npad = mpad - m
+        bufcap = _pad_pow2(int(lens.sum()) + 1, lo=64)
+        buf = np.zeros(bufcap, dtype=np.int8)
+        off = np.zeros(mpad, dtype=np.int64)
+        slen = np.full(mpad, -1, dtype=np.int32)
+        pos = 0
+        for i, r in enumerate(reads):
+            rv = np.asarray(r, dtype=np.int8)[::-1]
+            buf[pos : pos + len(rv)] = rv
+            off[npad + i] = pos
+            slen[npad + i] = len(rv)
+            pos += len(rv)
+
+        n_sent = int(self.state.pcounts[:, 0].sum())
+        l = np.zeros(mpad, dtype=np.int64)
+        u = np.zeros(mpad, dtype=np.int64)
+        if self.so == SO_IO:
+            l[npad:] = n_sent + np.arange(m)
+            u[npad:] = l[npad:]
+        else:
+            u[npad:] = n_sent
+        rs = ReadStates(
+            l=jnp.asarray(l),
+            u=jnp.asarray(u),
+            c=jnp.zeros(mpad, dtype=I32),
+            off=jnp.asarray(off),
+            slen=jnp.asarray(slen),
+        )
+        jbuf = jnp.asarray(buf)
+
+        max_len = int(lens.max()) if m else 0
+        state = self.state
+        for d in range(max_len + 1):
+            state, rs, _ = bcr_round(
+                state,
+                rs,
+                jbuf,
+                jnp.asarray(d, dtype=I32),
+                jnp.asarray(d == 0),
+                K=self.K,
+                so=self.so,
+            )
+        self.state = state
+
+    def insert1(self, read):
+        """Single-string insertion (mr_insert1 semantics).  Identical output
+        to a one-read batch — the reference's Algorithm 2 degenerates to
+        Algorithm 1 when l == u (tex/ropebwt2.tex:108-110)."""
+        self.insert_multi([read])
+
+    # --- export ---
+
+    @property
+    def n(self) -> int:
+        return int(self.state.n)
+
+    def counts(self):
+        """Global per-symbol counts ($,A,C,G,T,N), like mr_get_c."""
+        return np.asarray(self.state.pcounts.sum(axis=0))
+
+    def bwt_array(self) -> np.ndarray:
+        """The full BWT as an int8 numpy array (host transfer)."""
+        n = self.n
+        return np.asarray(self.state.bwt[:n])
+
+    def runs(self):
+        """Run-length view [(sym, len), ...] of the BWT."""
+        b = self.bwt_array()
+        if b.size == 0:
+            return []
+        change = np.flatnonzero(np.diff(b)) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [b.size]])
+        return [
+            (int(b[s]), int(e - s)) for s, e in zip(starts, ends)
+        ]

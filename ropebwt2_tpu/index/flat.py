@@ -1,0 +1,114 @@
+"""Flat, array-packed BWT state — the TPU-native replacement for the six
+pointer-based B+-trees of the reference (rope.c/mrope.c).
+
+The whole BWT lives in ONE device buffer of capacity CAP, as the concatenation
+of the six next-symbol partitions B_0..B_5 (the partition invariant of
+mrope.h:10-14: partition b = B[C(b)..C(b+1))).  Alongside it:
+
+* ``psize``    int64[6]    current partition sizes (offsets = exclusive cumsum)
+* ``pcounts``  int64[6,6]  per-partition per-symbol counts (the reference's
+                           rope->c[6] for each rope)
+* ``blk_prefix`` int64[NB+1,6]  per-symbol counts at every K-symbol block
+                           boundary of the flat buffer — the rank index
+                           (device-resident analogue of rld0's frame index,
+                           rld0.c:163-205)
+* ``n``        int64       total symbols
+
+Unused capacity is filled with the PAD symbol 6 so block tables stay exact.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..alphabet import NSYM
+
+PAD = 6  # fill value for bwt[n:CAP]; outside the 6-symbol alphabet
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FlatBwt:
+    bwt: jax.Array  # int8[CAP]
+    n: jax.Array  # int64 scalar
+    psize: jax.Array  # int64[6]
+    pcounts: jax.Array  # int64[6,6]
+    blk_prefix: jax.Array  # int64[NB+1, 6]
+
+    @property
+    def cap(self) -> int:
+        return self.bwt.shape[0]
+
+
+def empty_state(cap: int, K: int) -> FlatBwt:
+    assert cap % K == 0
+    nb = cap // K
+    return FlatBwt(
+        bwt=jnp.full((cap,), PAD, dtype=jnp.int8),
+        n=jnp.zeros((), dtype=jnp.int64),
+        psize=jnp.zeros((NSYM,), dtype=jnp.int64),
+        pcounts=jnp.zeros((NSYM, NSYM), dtype=jnp.int64),
+        blk_prefix=jnp.zeros((nb + 1, NSYM), dtype=jnp.int64),
+    )
+
+
+def grow_state(state: FlatBwt, new_cap: int, K: int) -> FlatBwt:
+    """Re-plan to a larger capacity (host-side, between batches)."""
+    from .rank import build_block_tables
+
+    assert new_cap % K == 0 and new_cap >= state.cap
+    if new_cap == state.cap:
+        return state
+    bwt = jnp.concatenate(
+        [state.bwt, jnp.full((new_cap - state.cap,), PAD, dtype=jnp.int8)]
+    )
+    return FlatBwt(
+        bwt=bwt,
+        n=state.n,
+        psize=state.psize,
+        pcounts=state.pcounts,
+        blk_prefix=build_block_tables(bwt, K),
+    )
+
+
+def state_from_runs(runs, K: int, cap: int = None) -> FlatBwt:
+    """Build device state from a host run-length BWT: iterable of
+    (symbol, length) over the concatenated six partitions, plus the partition
+    sizes implied by pcounts.  Used by FMR restore (-i incremental builds)."""
+    from .rank import build_block_tables
+
+    syms = []
+    for c, ln in runs:
+        syms.append(np.full(int(ln), c, dtype=np.int8))
+    flat = (
+        np.concatenate(syms) if syms else np.zeros((0,), dtype=np.int8)
+    )
+    n = flat.shape[0]
+    if cap is None:
+        cap = max(K, -(-n // K) * K)
+    assert cap % K == 0 and cap >= n
+    # Partition boundaries follow from the FM identity: partition b has size
+    # equal to the global count of symbol b (plus, for b=0, nothing special —
+    # |B_b| = C(b+1)-C(b) = count of b among all symbols).
+    tot = np.zeros(NSYM, dtype=np.int64)
+    for b in range(NSYM):
+        tot[b] = int((flat == b).sum())
+    psize = tot.copy()
+    off = np.concatenate([[0], np.cumsum(psize)])
+    pcounts = np.zeros((NSYM, NSYM), dtype=np.int64)
+    for b in range(NSYM):
+        part = flat[off[b] : off[b + 1]]
+        for s in range(NSYM):
+            pcounts[b, s] = int((part == s).sum())
+    buf = np.full(cap, PAD, dtype=np.int8)
+    buf[:n] = flat
+    bwt = jnp.asarray(buf)
+    return FlatBwt(
+        bwt=bwt,
+        n=jnp.asarray(n, dtype=jnp.int64),
+        psize=jnp.asarray(psize),
+        pcounts=jnp.asarray(pcounts),
+        blk_prefix=build_block_tables(bwt, K),
+    )

@@ -1,0 +1,47 @@
+"""Blockwise rank (occ) over the flat BWT buffer.
+
+Equivalent query semantics to the reference's rope_rank2a/rle_rank2a
+(rope.c:179-194, rle.c:134-191), re-designed for the TPU: a dense per-block
+prefix-count table plus a vectorized in-block count, instead of a B+-tree
+descent plus run decoding.  All queries are batched.
+"""
+
+import jax.numpy as jnp
+
+from ..alphabet import NSYM
+
+
+def build_block_tables(bwt, K: int):
+    """Per-symbol prefix counts at every K-block boundary.
+
+    bwt: int8[CAP] (PAD=6 beyond n). Returns int64[CAP//K + 1, 6]."""
+    nb = bwt.shape[0] // K
+    blocks = bwt.reshape(nb, K)
+    sym = jnp.arange(NSYM, dtype=bwt.dtype)
+    cnts = (blocks[:, :, None] == sym[None, None, :]).sum(
+        axis=1, dtype=jnp.int32
+    )
+    pref = jnp.concatenate(
+        [
+            jnp.zeros((1, NSYM), dtype=jnp.int64),
+            jnp.cumsum(cnts.astype(jnp.int64), axis=0),
+        ]
+    )
+    return pref
+
+
+def rank_global(bwt, blk_prefix, pos, K: int):
+    """Batched 6-symbol rank at global positions.
+
+    pos: int64[Q] with 0 <= pos <= n.  Returns int64[Q, 6] where
+    out[q, s] = |{ i < pos[q] : bwt[i] == s }|."""
+    blk = pos // K
+    within = (pos % K).astype(jnp.int32)
+    base = blk_prefix[blk]  # (Q, 6)
+    blkdata = bwt.reshape(-1, K)[jnp.clip(blk, 0, bwt.shape[0] // K - 1)]
+    j = jnp.arange(K, dtype=jnp.int32)
+    inmask = j[None, :] < within[:, None]  # (Q, K)
+    sym = jnp.arange(NSYM, dtype=bwt.dtype)
+    eq = blkdata[:, :, None] == sym[None, None, :]  # (Q, K, 6)
+    inc = (eq & inmask[:, :, None]).sum(axis=1, dtype=jnp.int32)
+    return base + inc.astype(jnp.int64)
