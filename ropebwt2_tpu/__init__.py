@@ -26,6 +26,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: BCR round kernels are re-jitted per shape
+# bucket; caching makes CLI invocations and restarts cheap.
+_cache_dir = os.environ.get(
+    "ROPEBWT2_TPU_CACHE", os.path.expanduser("~/.cache/ropebwt2_tpu/jax")
+)
+if _cache_dir and _cache_dir != "0":
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 __version__ = "0.1.0"
 
 from .alphabet import SENT, A, C, G, T, N, NT6_TABLE, comp6  # noqa: F401,E402

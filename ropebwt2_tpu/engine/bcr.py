@@ -69,8 +69,7 @@ def _insertion_order(so):
     return tuple(em)
 
 
-@functools.partial(jax.jit, static_argnames=("K", "so"), donate_argnums=(0, 1))
-def bcr_round(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so):
+def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so):
     """One BCR round: insert the d-th (from read end) symbol of every active
     read. Returns (new_state, new_reads, n_inserted)."""
     M = reads.l.shape[0]
@@ -231,6 +230,11 @@ def bcr_round(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so):
     return new_state, new_reads, n_ins
 
 
+bcr_round = functools.partial(
+    jax.jit, static_argnames=("K", "so"), donate_argnums=(0, 1)
+)(bcr_round_impl)
+
+
 def _round_up(x, m):
     return -(-x // m) * m
 
@@ -254,11 +258,16 @@ class TpuBwt:
         self.so = so
         self.K = K
         self.state = empty_state(K, K)
+        # host-side mirrors: never read device scalars in the hot path (a
+        # blocking device->host scalar pull costs a full round trip — on a
+        # tunneled TPU backend, seconds)
+        self._n = 0  # total symbols
+        self._n_strings = 0  # total strings (== sentinel count)
 
     # --- capacity planning ---
 
     def _plan(self, extra_symbols: int):
-        need = int(self.state.n) + extra_symbols
+        need = self._n + extra_symbols
         cap = self.state.cap
         if need > cap:
             cap = _round_up(_pad_pow2(need, lo=self.K), self.K)
@@ -266,10 +275,10 @@ class TpuBwt:
 
     # --- the public insertion API ---
 
-    def insert_multi(self, reads):
+    def insert_multi(self, reads, already_reversed=False):
         """Insert a batch of reads column-by-column.  ``reads`` are nt6 code
-        arrays in ORIGINAL orientation; reversal (main.c:200-203) happens
-        here."""
+        arrays; unless ``already_reversed``, they are in ORIGINAL orientation
+        and reversal (main.c:200-203) happens here."""
         m = len(reads)
         if m == 0:
             return
@@ -285,13 +294,15 @@ class TpuBwt:
         slen = np.full(mpad, -1, dtype=np.int32)
         pos = 0
         for i, r in enumerate(reads):
-            rv = np.asarray(r, dtype=np.int8)[::-1]
+            rv = np.asarray(r, dtype=np.int8)
+            if not already_reversed:
+                rv = rv[::-1]
             buf[pos : pos + len(rv)] = rv
             off[npad + i] = pos
             slen[npad + i] = len(rv)
             pos += len(rv)
 
-        n_sent = int(self.state.pcounts[:, 0].sum())
+        n_sent = self._n_strings
         l = np.zeros(mpad, dtype=np.int64)
         u = np.zeros(mpad, dtype=np.int64)
         if self.so == SO_IO:
@@ -321,6 +332,8 @@ class TpuBwt:
                 so=self.so,
             )
         self.state = state
+        self._n += total
+        self._n_strings += m
 
     def insert1(self, read):
         """Single-string insertion (mr_insert1 semantics).  Identical output
@@ -332,7 +345,7 @@ class TpuBwt:
 
     @property
     def n(self) -> int:
-        return int(self.state.n)
+        return self._n
 
     def counts(self):
         """Global per-symbol counts ($,A,C,G,T,N), like mr_get_c."""

@@ -73,35 +73,30 @@ def grow_state(state: FlatBwt, new_cap: int, K: int) -> FlatBwt:
     )
 
 
-def state_from_runs(runs, K: int, cap: int = None) -> FlatBwt:
-    """Build device state from a host run-length BWT: iterable of
-    (symbol, length) over the concatenated six partitions, plus the partition
-    sizes implied by pcounts.  Used by FMR restore (-i incremental builds)."""
+def state_from_partition_runs(partition_runs, K: int, cap: int = None):
+    """Build device state from six per-partition run lists
+    [(symbol, length), ...] — the FMR restore path (-i incremental)."""
     from .rank import build_block_tables
 
-    syms = []
-    for c, ln in runs:
-        syms.append(np.full(int(ln), c, dtype=np.int8))
-    flat = (
-        np.concatenate(syms) if syms else np.zeros((0,), dtype=np.int8)
-    )
+    parts = []
+    psize = np.zeros(NSYM, dtype=np.int64)
+    pcounts = np.zeros((NSYM, NSYM), dtype=np.int64)
+    for b in range(NSYM):
+        segs = [
+            np.full(int(ln), c, dtype=np.int8) for c, ln in partition_runs[b]
+        ]
+        part = (
+            np.concatenate(segs) if segs else np.zeros((0,), dtype=np.int8)
+        )
+        parts.append(part)
+        psize[b] = part.shape[0]
+        for c, ln in partition_runs[b]:
+            pcounts[b, c] += int(ln)
+    flat = np.concatenate(parts) if parts else np.zeros((0,), np.int8)
     n = flat.shape[0]
     if cap is None:
         cap = max(K, -(-n // K) * K)
     assert cap % K == 0 and cap >= n
-    # Partition boundaries follow from the FM identity: partition b has size
-    # equal to the global count of symbol b (plus, for b=0, nothing special —
-    # |B_b| = C(b+1)-C(b) = count of b among all symbols).
-    tot = np.zeros(NSYM, dtype=np.int64)
-    for b in range(NSYM):
-        tot[b] = int((flat == b).sum())
-    psize = tot.copy()
-    off = np.concatenate([[0], np.cumsum(psize)])
-    pcounts = np.zeros((NSYM, NSYM), dtype=np.int64)
-    for b in range(NSYM):
-        part = flat[off[b] : off[b + 1]]
-        for s in range(NSYM):
-            pcounts[b, s] = int((part == s).sum())
     buf = np.full(cap, PAD, dtype=np.int8)
     buf[:n] = flat
     bwt = jnp.asarray(buf)

@@ -1,0 +1,56 @@
+"""Device-mesh sharding for the BCR engine.
+
+The reference's only thread-level parallelism is the 5-way symbol-bucket
+pthread split (mrope.c:235-256).  On TPU the natural axes are instead:
+
+* the flat BWT buffer (and its rank tables) sharded by position range —
+  the 'index parallel' axis; rank gathers and the merge pass become
+  XLA-collective traffic over ICI
+* the per-read state arrays sharded by read — the data-parallel axis
+
+Round 1 implementation: positional `NamedSharding`s under `jit` (XLA SPMD
+inserts the collectives).  An explicit `shard_map` pipeline with
+all-to-all query routing is the planned next step (SURVEY.md §7.7).
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, axis="shard"):
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_state(state, mesh, axis="shard"):
+    """Shard the flat BWT buffer by position range; small tables are
+    replicated (they are O(N/K) and participate in every shard's ranks)."""
+    import dataclasses
+
+    s_bwt = NamedSharding(mesh, P(axis))
+    s_rep = NamedSharding(mesh, P())
+    return dataclasses.replace(
+        state,
+        bwt=jax.device_put(state.bwt, s_bwt),
+        n=jax.device_put(state.n, s_rep),
+        psize=jax.device_put(state.psize, s_rep),
+        pcounts=jax.device_put(state.pcounts, s_rep),
+        blk_prefix=jax.device_put(state.blk_prefix, s_rep),
+    )
+
+
+def shard_reads(reads, mesh, axis="shard"):
+    import dataclasses
+
+    s_dp = NamedSharding(mesh, P(axis))
+    return dataclasses.replace(
+        reads,
+        l=jax.device_put(reads.l, s_dp),
+        u=jax.device_put(reads.u, s_dp),
+        c=jax.device_put(reads.c, s_dp),
+        off=jax.device_put(reads.off, s_dp),
+        slen=jax.device_put(reads.slen, s_dp),
+    )

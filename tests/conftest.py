@@ -10,6 +10,10 @@ import subprocess
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon sitecustomize force-registers the tunneled TPU backend in every
+# python process (and its eager-op latency is ~100s); blank its trigger so
+# tests really run on local CPU.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
