@@ -38,6 +38,7 @@ from ..oracle import SO_IO, SO_RCLO, SO_RLO
 from ..index.flat import FlatBwt, empty_state, grow_state, PAD
 from ..index.merge import apply_insertions
 from ..index.rank import build_block_tables, rank_global
+from ..index.scan import cumsum_blocked, cumsum_small
 
 I64 = jnp.int64
 I32 = jnp.int32
@@ -82,9 +83,9 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
     onehot_key = (key[:, None] == jnp.arange(NSYM, dtype=I32)[None, :]).astype(
         I32
     )
-    csum_key = jnp.cumsum(onehot_key, axis=0)
+    csum_key = cumsum_blocked(onehot_key)
     totals = csum_key[-1]
-    base = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(totals)[:-1]])
+    base = jnp.concatenate([jnp.zeros(1, I32), cumsum_small(totals)[:-1]])
     dest = base[key] + jnp.take_along_axis(
         csum_key, key[:, None], axis=1
     ).squeeze(1) - 1
@@ -121,7 +122,7 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
         | (u != prev_u)
         | (inert != prev_inert)
     )
-    gid = jnp.cumsum(head.astype(I32)) - 1
+    gid = cumsum_blocked(head.astype(I32)) - 1
     headidx = jax.lax.cummax(jnp.where(head, arange_m, 0))
     bucket_head = (arange_m == 0) | (c != prev_c) | (inert != prev_inert)
     bktheadidx = jax.lax.cummax(jnp.where(bucket_head, arange_m, 0))
@@ -138,12 +139,12 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
 
     # ---- 3. batched rank2a at the group interval ends ----
     poff = jnp.concatenate(
-        [jnp.zeros(1, I64), jnp.cumsum(state.psize)[:-1]]
+        [jnp.zeros(1, I64), cumsum_small(state.psize)[:-1]]
     )  # partition offsets
     pprefix = jnp.concatenate(
         [
             jnp.zeros((1, NSYM), I64),
-            jnp.cumsum(state.pcounts, axis=0)[:-1],
+            cumsum_small(state.pcounts, axis=0)[:-1],
         ]
     )  # pprefix[b, s] = count of s in partitions < b
     gLq = poff[c] + L
@@ -173,7 +174,7 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
         :, None
     ]
     oh32 = oh.astype(I32)
-    csum = jnp.cumsum(oh32, axis=0)  # inclusive
+    csum = cumsum_blocked(oh32)  # inclusive
     excl = csum - oh32
     grp_start = excl[headidx]  # counts before this group
     bkt_start = excl[jax.lax.cummax(jnp.where(bucket_head, arange_m, 0))]
@@ -189,7 +190,7 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
     ac_excl = jnp.concatenate(
         [
             jnp.zeros((1, NSYM), I64),
-            jnp.cumsum(state.pcounts + ins_bucket, axis=0)[:-1],
+            cumsum_small(state.pcounts + ins_bucket, axis=0)[:-1],
         ]
     )  # (6,6): counts of s in partitions < b after this round
 
@@ -233,6 +234,25 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
 bcr_round = functools.partial(
     jax.jit, static_argnames=("K", "so"), donate_argnums=(0, 1)
 )(bcr_round_impl)
+
+
+def bcr_batch_impl(state, reads, buf, n_rounds, *, K, so):
+    """Run all rounds of one batch inside a single compiled call — one
+    device dispatch per batch instead of one per symbol column."""
+
+    def body(d, carry):
+        st, rd = carry
+        st, rd, _ = bcr_round_impl(
+            st, rd, buf, d.astype(I32), d == 0, K=K, so=so
+        )
+        return st, rd
+
+    return jax.lax.fori_loop(0, n_rounds, body, (state, reads))
+
+
+bcr_batch = functools.partial(
+    jax.jit, static_argnames=("K", "so"), donate_argnums=(0, 1)
+)(bcr_batch_impl)
 
 
 def _round_up(x, m):
@@ -320,17 +340,14 @@ class TpuBwt:
         jbuf = jnp.asarray(buf)
 
         max_len = int(lens.max()) if m else 0
-        state = self.state
-        for d in range(max_len + 1):
-            state, rs, _ = bcr_round(
-                state,
-                rs,
-                jbuf,
-                jnp.asarray(d, dtype=I32),
-                jnp.asarray(d == 0),
-                K=self.K,
-                so=self.so,
-            )
+        state, _ = bcr_batch(
+            self.state,
+            rs,
+            jbuf,
+            jnp.asarray(max_len + 1, dtype=I64),
+            K=self.K,
+            so=self.so,
+        )
         self.state = state
         self._n += total
         self._n_strings += m

@@ -15,6 +15,7 @@ element j moves to j + |{i : pos[i] <= j}|.
 import jax.numpy as jnp
 
 from .flat import PAD
+from .scan import cumsum_blocked
 
 
 def apply_insertions(bwt, n, pos, sym, stream, valid):
@@ -32,7 +33,7 @@ def apply_insertions(bwt, n, pos, sym, stream, valid):
     # mark[j] = number of insertions at old position j
     mark = jnp.zeros((cap,), dtype=jnp.int32)
     mark = mark.at[jnp.where(valid, pos, trash)].add(1, mode="drop")
-    shift = jnp.cumsum(mark)  # inclusive: shift[j] = #insertions at pos <= j
+    shift = cumsum_blocked(mark)  # inclusive: shift[j] = #insertions at pos <= j
 
     idx = jnp.arange(cap, dtype=jnp.int64)
     dest_old = idx + shift  # old element j -> j + shift[j]

@@ -9,6 +9,7 @@ descent plus run decoding.  All queries are batched.
 import jax.numpy as jnp
 
 from ..alphabet import NSYM
+from .scan import cumsum_blocked
 
 
 def build_block_tables(bwt, K: int):
@@ -24,7 +25,7 @@ def build_block_tables(bwt, K: int):
     pref = jnp.concatenate(
         [
             jnp.zeros((1, NSYM), dtype=jnp.int64),
-            jnp.cumsum(cnts.astype(jnp.int64), axis=0),
+            cumsum_blocked(cnts.astype(jnp.int64)),
         ]
     )
     return pref

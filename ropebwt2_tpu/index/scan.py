@@ -1,0 +1,60 @@
+"""Blocked prefix sums for TPU.
+
+XLA lowers big 1-D/column cumsums to reduce-window chains that are both slow
+on the VPU and (for emulated int64) can blow the scoped-VMEM budget inside
+fused loops.  Instead: cumsum within B-element windows as a lower-triangular
+matmul on the MXU (exact in f32 for window sums <= 2^24), then recursively
+prefix-sum the window totals in integer precision and broadcast the bases.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+_B = 256
+_LEAF = 1024  # below this, shift-add scan on the whole axis
+
+
+def cumsum_small(x, axis=0):
+    """Inclusive prefix sum via Hillis-Steele shift-adds — O(n log n)
+    elementwise adds, NO reduce-window (XLA's int64-pair reduce-window
+    lowering requests pathological scoped VMEM inside fused loops)."""
+    n = x.shape[axis]
+    shift = 1
+    while shift < n:
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (shift, 0)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, n - shift)
+        x = x + jnp.pad(x[tuple(sl)], pad)
+        shift <<= 1
+    return x
+
+
+def cumsum_blocked(x):
+    """Inclusive prefix sum along axis 0 of an integer array shaped (M,) or
+    (M, C).  M must be a multiple of 256 unless M <= leaf size."""
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    out = _cumsum2d(x)
+    return out[:, 0] if squeeze else out
+
+
+def _cumsum2d(x):
+    m, c = x.shape
+    if m <= _LEAF or m % _B != 0:
+        if x.dtype == jnp.int64 or m % _B != 0:
+            return cumsum_small(x, axis=0)
+        return jnp.cumsum(x, axis=0)
+    nb = m // _B
+    xb = x.reshape(nb, _B, c)
+    tri = jnp.tril(jnp.ones((_B, _B), jnp.float32))
+    # window-local inclusive prefix sums; exact: window sums <= 256 * max
+    inner = jnp.einsum(
+        "ij,bjc->bic", tri, xb.astype(jnp.float32)
+    ).astype(x.dtype)
+    totals = inner[:, -1, :]  # (nb, c)
+    bases = jnp.concatenate(
+        [jnp.zeros((1, c), x.dtype), _cumsum2d(totals)[:-1]]
+    )
+    return (inner + bases[:, None, :]).reshape(m, c)
