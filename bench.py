@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark: BCR construction throughput on the attached TPU chip.
+
+Headline metric: symbols inserted per second per chip, RLO mode, on a
+simulated short-read batch — directly comparable to the reference's worm
+RLO row (66.8M x 100bp in 506 s wall on a 48-core Xeon = 13.2 Msym/s,
+BASELINE.md).  Prints exactly one JSON line.
+
+Env knobs: BENCH_M (#reads), BENCH_L (read length), BENCH_SO (0/1/2).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    M = int(os.environ.get("BENCH_M", 1 << 17))
+    L = int(os.environ.get("BENCH_L", 101))
+    so = int(os.environ.get("BENCH_SO", 1))
+    baseline = 13.2e6  # ropebwt2 worm-RLO wall symbols/s (BASELINE.md)
+
+    import jax
+
+    from ropebwt2_tpu.engine import TpuBwt
+
+    rng = np.random.default_rng(0)
+    reads = rng.integers(1, 5, size=(M, L)).astype(np.int8)
+    syms = M * (L + 1)
+
+    def run():
+        eng = TpuBwt(so=so)
+        t0 = time.time()
+        eng.insert_multi(reads)
+        jax.block_until_ready(eng.state.bwt)
+        return time.time() - t0, eng
+
+    t_warm, eng = run()  # compile (persistent-cached) + run
+    print(f"[bench] warmup/compile: {t_warm:.1f}s", file=sys.stderr)
+    t_best = None
+    for _ in range(2):
+        t, eng = run()
+        t_best = t if t_best is None else min(t_best, t)
+    cnt = eng.counts()
+    assert int(cnt[0]) == M and int(cnt.sum()) == syms, "self-check failed"
+    value = syms / t_best
+    print(
+        f"[bench] {M} x {L}bp (so={so}): {t_best:.3f}s on "
+        f"{jax.devices()[0].platform}:{jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "bcr_insert_throughput_rlo",
+                "value": round(value, 1),
+                "unit": "symbols/s/chip",
+                "vs_baseline": round(value / baseline, 3),
+                "detail": {
+                    "reads": M,
+                    "read_len": L,
+                    "sorting_order": so,
+                    "wall_s": round(t_best, 4),
+                    "baseline": "ropebwt2 -brRm10g worm 13.2 Msym/s wall (README.md:176)",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -302,7 +302,11 @@ class TpuBwt:
         m = len(reads)
         if m == 0:
             return
-        lens = np.array([len(r) for r in reads], dtype=np.int32)
+        uniform = isinstance(reads, np.ndarray) and reads.ndim == 2
+        if uniform:
+            lens = np.full(m, reads.shape[1], dtype=np.int32)
+        else:
+            lens = np.array([len(r) for r in reads], dtype=np.int32)
         total = int(lens.sum()) + m  # symbols + sentinels
         self._plan(total)
 
@@ -312,15 +316,24 @@ class TpuBwt:
         buf = np.zeros(bufcap, dtype=np.int8)
         off = np.zeros(mpad, dtype=np.int64)
         slen = np.full(mpad, -1, dtype=np.int32)
-        pos = 0
-        for i, r in enumerate(reads):
-            rv = np.asarray(r, dtype=np.int8)
+        if uniform:  # vectorized fast path for equal-length read matrices
+            ln = reads.shape[1]
+            mat = reads.astype(np.int8, copy=False)
             if not already_reversed:
-                rv = rv[::-1]
-            buf[pos : pos + len(rv)] = rv
-            off[npad + i] = pos
-            slen[npad + i] = len(rv)
-            pos += len(rv)
+                mat = mat[:, ::-1]
+            buf[: m * ln] = mat.ravel()
+            off[npad:] = np.arange(m, dtype=np.int64) * ln
+            slen[npad:] = ln
+        else:
+            pos = 0
+            for i, r in enumerate(reads):
+                rv = np.asarray(r, dtype=np.int8)
+                if not already_reversed:
+                    rv = rv[::-1]
+                buf[pos : pos + len(rv)] = rv
+                off[npad + i] = pos
+                slen[npad + i] = len(rv)
+                pos += len(rv)
 
         n_sent = self._n_strings
         l = np.zeros(mpad, dtype=np.int64)
