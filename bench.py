@@ -35,17 +35,22 @@ def main():
         eng = TpuBwt(so=so)
         t0 = time.time()
         eng.insert_multi(reads)
-        jax.block_until_ready(eng.state.bwt)
-        return time.time() - t0, eng
+        # a real device->host transfer is the only trustworthy sync point on
+        # remote-attached backends (block_until_ready can return early)
+        cnt = eng.counts()
+        dt = time.time() - t0
+        assert int(cnt[0]) == M and int(cnt.sum()) == syms, "self-check failed"
+        return dt, eng
 
     t_warm, eng = run()  # compile (persistent-cached) + run
     print(f"[bench] warmup/compile: {t_warm:.1f}s", file=sys.stderr)
-    t_best = None
+    del eng  # free device buffers before timed runs
+    t_best = eng = None
     for _ in range(2):
+        if eng is not None:
+            del eng
         t, eng = run()
         t_best = t if t_best is None else min(t_best, t)
-    cnt = eng.counts()
-    assert int(cnt[0]) == M and int(cnt.sum()) == syms, "self-check failed"
     value = syms / t_best
     print(
         f"[bench] {M} x {L}bp (so={so}): {t_best:.3f}s on "

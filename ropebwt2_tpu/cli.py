@@ -6,9 +6,8 @@ Usage: python -m ropebwt2_tpu.cli [options] <in.fq.gz>
 """
 
 import getopt
+import os
 import sys
-
-import numpy as np
 
 from . import __version__
 from .engine import TpuBwt
@@ -140,45 +139,75 @@ def main(argv=None) -> int:
     if bwt is None:
         bwt = TpuBwt(so=so)
 
-    stream = open_seq_stream(args[0] if args else None)
     ct, rt = log.cputime(), log.realtime()
-    batch, batch_syms = [], 0
+    in_path = args[0] if args else None
+    use_native = m > 0 and _native_enabled()
+    if use_native:
+        from .native.lib import NativeReader
 
-    def flush():
-        nonlocal batch, batch_syms
-        if not batch:
-            return
-        ct0, rt0 = log.cputime(), log.realtime()
-        bwt.insert_multi(batch, already_reversed=True)
-        log.message(
-            "main",
-            "inserted %d symbols in %.3f sec, %.3f CPU sec",
-            batch_syms,
-            log.realtime() - rt0,
-            log.cputime() - ct0,
-        )
+        reader = NativeReader(in_path, line_mode=line_mode)
+        while True:
+            batch = reader.next_batch(
+                min_fill=m,
+                min_q=min_q,
+                skip_n=skip_n,
+                cut_n=cut_n,
+                min_cut_len=min_cut_len,
+                trim_pal=trim_pal,
+                fwd=fwd,
+                rev=rev,
+            )
+            if batch is None:
+                break
+            ct0, rt0 = log.cputime(), log.realtime()
+            bwt.insert_nul_batch(batch)
+            log.message(
+                "main",
+                "inserted %d symbols in %.3f sec, %.3f CPU sec",
+                len(batch),
+                log.realtime() - rt0,
+                log.cputime() - ct0,
+            )
+        reader.close()
+    else:
+        stream = open_seq_stream(in_path)
         batch, batch_syms = [], 0
 
-    for seq, qual in read_records(stream, line_mode=line_mode):
-        for s in preprocess_record(
-            seq,
-            qual,
-            min_q=min_q,
-            skip_n=skip_n,
-            cut_n=cut_n,
-            min_cut_len=min_cut_len,
-            trim_palindrome=trim_pal,
-            fwd=fwd,
-            rev=rev,
-        ):
-            if m:
-                batch.append(s)
-                batch_syms += len(s) + 1
-            else:
-                bwt.insert_multi([s], already_reversed=True)
-        if m and batch_syms >= m:
-            flush()
-    flush()
+        def flush():
+            nonlocal batch, batch_syms
+            if not batch:
+                return
+            ct0, rt0 = log.cputime(), log.realtime()
+            bwt.insert_multi(batch, already_reversed=True)
+            log.message(
+                "main",
+                "inserted %d symbols in %.3f sec, %.3f CPU sec",
+                batch_syms,
+                log.realtime() - rt0,
+                log.cputime() - ct0,
+            )
+            batch, batch_syms = [], 0
+
+        for seq, qual in read_records(stream, line_mode=line_mode):
+            for s in preprocess_record(
+                seq,
+                qual,
+                min_q=min_q,
+                skip_n=skip_n,
+                cut_n=cut_n,
+                min_cut_len=min_cut_len,
+                trim_palindrome=trim_pal,
+                fwd=fwd,
+                rev=rev,
+            ):
+                if m:
+                    batch.append(s)
+                    batch_syms += len(s) + 1
+                else:
+                    bwt.insert_multi([s], already_reversed=True)
+            if m and batch_syms >= m:
+                flush()
+        flush()
 
     cnt = bwt.counts()
     log.message(
@@ -193,39 +222,93 @@ def main(argv=None) -> int:
         *[int(c) for c in cnt],
     )
 
+    write_output(bwt, out_path, out_mode, block_len, max_nodes)
+    return 0
+
+
+def _native_enabled() -> bool:
+    if os.environ.get("ROPEBWT2_TPU_NATIVE", "1") == "0":
+        return False
+    from .native import native_available
+
+    return native_available()
+
+
+def write_output(bwt: TpuBwt, out_path, mode, block_len, max_nodes):
+    """Write the constructed index; out_path None = stdout.  Uses the native
+    (C++) writers when available, with pure-Python fallbacks."""
+    if mode != "tree" and _native_enabled():
+        from .native import lib as nlib
+        from .utils import log as _log
+
+        path = out_path or "-"
+        arr = bwt.bwt_array()
+        if mode == "text":
+            nlib.text_write(arr, path)
+            return
+        if mode == "fmd":
+            sym, ln = nlib.extract_runs(arr)
+            mcnt = nlib.fmd_write(sym, ln, path)
+            _log.message(
+                "main",
+                "rld: (tot, $, A, C, G, T, N) = (%d, %d, %d, %d, %d, %d, %d)",
+                *[int(x) for x in mcnt],
+            )
+            return
+        if mode == "crlf":
+            sym, ln = nlib.extract_runs(arr)
+            nlib.crlf_write(sym, ln, bwt.counts(), path)
+            return
+        if mode == "fmr":
+            import numpy as _np
+
+            psize = _np.asarray(bwt.state.psize)
+            offs = _np.concatenate([[0], _np.cumsum(psize)]).astype(_np.int64)
+            syms, lns, nruns = [], [], []
+            for b in range(6):
+                s, ln = nlib.extract_runs(arr[offs[b] : offs[b + 1]])
+                syms.append(s)
+                lns.append(ln)
+                nruns.append(len(s))
+            nlib.fmr_write(
+                _np.concatenate(syms) if syms else _np.zeros(0, _np.uint8),
+                _np.concatenate(lns) if lns else _np.zeros(0, _np.int64),
+                _np.asarray(nruns, dtype=_np.int64),
+                bwt.so,
+                path,
+                block_len,
+                max_nodes,
+            )
+            return
+
     out = open(out_path, "wb") if out_path else sys.stdout.buffer
     try:
-        write_output(bwt, out, out_mode, block_len, max_nodes)
+        if mode == "text":
+            from .io.text import write_text_bwt
+
+            write_text_bwt(bwt.bwt_array(), out)
+        elif mode == "fmr":
+            from .io.fmr import write_fmr
+
+            write_fmr(bwt, out, block_len=block_len, max_nodes=max_nodes)
+        elif mode == "fmd":
+            from .io.fmd import write_fmd
+
+            write_fmd(bwt.runs(), out)
+        elif mode == "crlf":
+            from .io.crlf import write_crlf
+
+            write_crlf(bwt.runs(), bwt.counts(), out)
+        elif mode == "tree":
+            from .io.fmr import write_tree_debug
+
+            write_tree_debug(bwt, out, block_len=block_len, max_nodes=max_nodes)
+        else:  # pragma: no cover
+            raise ValueError(mode)
     finally:
         out.flush()
         if out_path:
             out.close()
-    return 0
-
-
-def write_output(bwt: TpuBwt, out, mode, block_len, max_nodes):
-    if mode == "text":
-        from .io.text import write_text_bwt
-
-        write_text_bwt(bwt.bwt_array(), out)
-    elif mode == "fmr":
-        from .io.fmr import write_fmr
-
-        write_fmr(bwt, out, block_len=block_len, max_nodes=max_nodes)
-    elif mode == "fmd":
-        from .io.fmd import write_fmd
-
-        write_fmd(bwt.runs(), out)
-    elif mode == "crlf":
-        from .io.crlf import write_crlf
-
-        write_crlf(bwt.runs(), bwt.counts(), out)
-    elif mode == "tree":
-        from .io.fmr import write_tree_debug
-
-        write_tree_debug(bwt, out, block_len=block_len, max_nodes=max_nodes)
-    else:  # pragma: no cover
-        raise ValueError(mode)
 
 
 def console_main():

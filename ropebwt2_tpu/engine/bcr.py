@@ -28,6 +28,7 @@ intervals.  Tie order is tracked explicitly per insertion.
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,21 @@ from ..index.flat import FlatBwt, empty_state, grow_state, PAD
 from ..index.merge import apply_insertions
 from ..index.rank import build_block_tables, rank_global
 from ..index.scan import cumsum_blocked, cumsum_small
+
+
+def _use_pallas_merge(cap: int) -> bool:
+    """The Pallas merge kernel runs on real TPUs for capacities it supports;
+    CPU (tests, virtual meshes) uses the jnp reference formulation."""
+    from ..index import merge_pallas as mp
+
+    if os.environ.get("ROPEBWT2_TPU_PALLAS", "1") == "0":
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and cap % mp.B == 0
+        and cap >= mp.B + 2 * mp.LANE
+        and cap < (1 << 31)
+    )
 
 I64 = jnp.int64
 I32 = jnp.int32
@@ -207,10 +223,18 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
         + rank_in_run.astype(I64)
     )
 
-    # ---- 5. merge ----
-    new_bwt = apply_insertions(
-        state.bwt, state.n, gX, sym, stream, active
-    )
+    # ---- 5. merge (+ fused rank-table rebuild on the Pallas path) ----
+    if _use_pallas_merge(state.bwt.shape[0]):
+        from ..index.merge_pallas import merge_pallas
+
+        new_bwt, new_blk_prefix = merge_pallas(
+            state.bwt, gX, sym, stream, active, K=K
+        )
+    else:
+        new_bwt = apply_insertions(
+            state.bwt, state.n, gX, sym, stream, active
+        )
+        new_blk_prefix = None
 
     # ---- 6. interval update (+ fused cross-bucket rebase) ----
     l_new = take_sym(TL) + take_sym(P) + take_sym(ac_excl[c])
@@ -225,7 +249,11 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
         n=state.n + n_ins,
         psize=state.psize + jnp.sum(ins_bucket, axis=1),
         pcounts=state.pcounts + ins_bucket,
-        blk_prefix=build_block_tables(new_bwt, K),
+        blk_prefix=(
+            new_blk_prefix
+            if new_blk_prefix is not None
+            else build_block_tables(new_bwt, K)
+        ),
     )
     new_reads = ReadStates(l=l, u=u, c=c, off=off, slen=slen)
     return new_state, new_reads, n_ins
@@ -335,6 +363,37 @@ class TpuBwt:
                 slen[npad + i] = len(rv)
                 pos += len(rv)
 
+        self._run_batch(buf, off, slen, m, total, int(lens.max()))
+
+    def insert_nul_batch(self, nulbuf: np.ndarray):
+        """Insert a batch given as a buffer of NUL-terminated, insertion-
+        oriented strings — the exact shape of the reference's -m batch
+        buffer (mrope.c:269-277) and of the native reader's output."""
+        nulbuf = np.ascontiguousarray(nulbuf).view(np.int8)
+        ends = np.flatnonzero(nulbuf == 0)
+        m = len(ends)
+        if m == 0:
+            return
+        total = int(nulbuf.shape[0])  # symbols + sentinels
+        assert ends[-1] == total - 1, "batch must end with a terminator"
+        self._plan(total)
+        starts = np.concatenate([[0], ends[:-1] + 1]).astype(np.int64)
+        lens = (ends - starts).astype(np.int32)
+
+        mpad = _pad_pow2(m)
+        npad = mpad - m
+        bufcap = _pad_pow2(total, lo=64)
+        buf = np.zeros(bufcap, dtype=np.int8)
+        buf[:total] = nulbuf
+        off = np.zeros(mpad, dtype=np.int64)
+        slen = np.full(mpad, -1, dtype=np.int32)
+        off[npad:] = starts
+        slen[npad:] = lens
+        self._run_batch(buf, off, slen, m, total, int(lens.max()))
+
+    def _run_batch(self, buf, off, slen, m, total, max_len):
+        mpad = off.shape[0]
+        npad = mpad - m
         n_sent = self._n_strings
         l = np.zeros(mpad, dtype=np.int64)
         u = np.zeros(mpad, dtype=np.int64)
@@ -352,7 +411,6 @@ class TpuBwt:
         )
         jbuf = jnp.asarray(buf)
 
-        max_len = int(lens.max()) if m else 0
         state, _ = bcr_batch(
             self.state,
             rs,
