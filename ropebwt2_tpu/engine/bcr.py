@@ -86,9 +86,13 @@ def _insertion_order(so):
     return tuple(em)
 
 
-def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so):
-    """One BCR round: insert the d-th (from read end) symbol of every active
-    read. Returns (new_state, new_reads, n_inserted)."""
+def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
+               rank_fn, *, so):
+    """Steps 1-4 + interval updates of one BCR round, independent of how the
+    flat buffer is stored: ``rank_fn(gpos) -> (M, 6)`` supplies GLOBAL
+    6-symbol ranks (single-device table lookup, or a psum over shards).
+
+    Returns (new_reads, gX, sym, stream, active, ins_bucket, n_ins)."""
     M = reads.l.shape[0]
     em = jnp.asarray(_insertion_order(so), dtype=I32)
     arange_m = jnp.arange(M, dtype=I32)
@@ -155,18 +159,18 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
 
     # ---- 3. batched rank2a at the group interval ends ----
     poff = jnp.concatenate(
-        [jnp.zeros(1, I64), cumsum_small(state.psize)[:-1]]
+        [jnp.zeros(1, I64), cumsum_small(psize)[:-1]]
     )  # partition offsets
     pprefix = jnp.concatenate(
         [
             jnp.zeros((1, NSYM), I64),
-            cumsum_small(state.pcounts, axis=0)[:-1],
+            cumsum_small(pcounts, axis=0)[:-1],
         ]
     )  # pprefix[b, s] = count of s in partitions < b
     gLq = poff[c] + L
     gUq = poff[c] + U
-    TL = rank_global(state.bwt, state.blk_prefix, gLq, K) - pprefix[c]
-    TU = rank_global(state.bwt, state.blk_prefix, gUq, K) - pprefix[c]
+    TL = rank_fn(gLq) - pprefix[c]
+    TU = rank_fn(gUq) - pprefix[c]
     delta = TU - TL  # (M,6): per-symbol count inside the group interval
 
     # ---- 4. insertion points per symbol, start-of-round local coords ----
@@ -206,7 +210,7 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
     ac_excl = jnp.concatenate(
         [
             jnp.zeros((1, NSYM), I64),
-            cumsum_small(state.pcounts + ins_bucket, axis=0)[:-1],
+            cumsum_small(pcounts + ins_bucket, axis=0)[:-1],
         ]
     )  # (6,6): counts of s in partitions < b after this round
 
@@ -223,7 +227,29 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
         + rank_in_run.astype(I64)
     )
 
-    # ---- 5. merge (+ fused rank-table rebuild on the Pallas path) ----
+    # ---- interval update (+ fused cross-bucket rebase) ----
+    l_new = take_sym(TL) + take_sym(P) + take_sym(ac_excl[c])
+    u_new = l_new + take_sym(delta)
+    l = jnp.where(active, l_new, l)
+    u = jnp.where(active, u_new, u)
+    c = jnp.where(active, sym, c)
+
+    n_ins = jnp.sum(active.astype(I64))
+    new_reads = ReadStates(l=l, u=u, c=c, off=off, slen=slen)
+    return new_reads, gX, sym, stream, active, ins_bucket, n_ins
+
+
+def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so):
+    """One BCR round: insert the d-th (from read end) symbol of every active
+    read. Returns (new_state, new_reads, n_inserted)."""
+    rank_fn = lambda gpos: rank_global(  # noqa: E731
+        state.bwt, state.blk_prefix, gpos, K
+    )
+    new_reads, gX, sym, stream, active, ins_bucket, n_ins = plan_round(
+        state.psize, state.pcounts, reads, buf, d, is_first, rank_fn, so=so
+    )
+
+    # ---- merge (+ fused rank-table rebuild on the Pallas path) ----
     if _use_pallas_merge(state.bwt.shape[0]):
         from ..index.merge_pallas import merge_pallas
 
@@ -234,28 +260,15 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
         new_bwt = apply_insertions(
             state.bwt, state.n, gX, sym, stream, active
         )
-        new_blk_prefix = None
+        new_blk_prefix = build_block_tables(new_bwt, K)
 
-    # ---- 6. interval update (+ fused cross-bucket rebase) ----
-    l_new = take_sym(TL) + take_sym(P) + take_sym(ac_excl[c])
-    u_new = l_new + take_sym(delta)
-    l = jnp.where(active, l_new, l)
-    u = jnp.where(active, u_new, u)
-    c = jnp.where(active, sym, c)
-
-    n_ins = jnp.sum(active.astype(I64))
     new_state = FlatBwt(
         bwt=new_bwt,
         n=state.n + n_ins,
         psize=state.psize + jnp.sum(ins_bucket, axis=1),
         pcounts=state.pcounts + ins_bucket,
-        blk_prefix=(
-            new_blk_prefix
-            if new_blk_prefix is not None
-            else build_block_tables(new_bwt, K)
-        ),
+        blk_prefix=new_blk_prefix,
     )
-    new_reads = ReadStates(l=l, u=u, c=c, off=off, slen=slen)
     return new_state, new_reads, n_ins
 
 

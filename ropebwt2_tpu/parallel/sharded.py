@@ -1,0 +1,286 @@
+"""Multi-device BCR under shard_map with explicit collectives.
+
+The distributed backend the reference never had (SURVEY.md §2.1/5): the flat
+BWT buffer is sharded by position range over a 1-D device mesh; per-read BCR
+state is replicated (its per-round cost is O(M) vector work, tiny next to
+the buffer passes).  Per round:
+
+* rank queries: every shard answers the queries that fall in its range from
+  its local rank tables (which store GLOBAL prefix counts) and the results
+  are combined with one psum — the all-to-all query routing of the design
+  plan collapses to a masked-partials reduction because read state is
+  replicated.
+* merge: insertions whose destinations fall in a shard are applied locally.
+  Because all positions shift right monotonically, each shard's output
+  window additionally needs up to A (= batch insertions) trailing symbols
+  from its LEFT neighbor, exchanged with one non-wrapping ppermute per
+  round.
+* rank tables: rebuilt locally, then one small all_gather of per-shard
+  symbol totals to re-derive the global bases.
+
+Shard-local coordinates: shard s owns global capacity range
+[s*LCAP, (s+1)*LCAP).
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..alphabet import NSYM
+from ..index.flat import PAD
+from ..index.rank import build_block_tables, rank_global
+from ..index.scan import cumsum_blocked
+from ..engine.bcr import (
+    I32,
+    I64,
+    ReadStates,
+    plan_round,
+    _pad_pow2,
+    _round_up,
+)
+from ..oracle import SO_IO
+
+AXIS = "s"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardedBwt:
+    bwt: jax.Array  # int8[D, LCAP]   (sharded along axis 0)
+    blk_prefix: jax.Array  # int64[D, LCAP//K + 1, 6]  (GLOBAL values)
+    n: jax.Array  # int64  (replicated)
+    psize: jax.Array  # int64[6]
+    pcounts: jax.Array  # int64[6,6]
+
+
+def _shard_rank_fn(bwt_loc, blkp_loc, lcap, K):
+    """Global 6-symbol rank via masked local lookup + psum."""
+    d = jax.lax.axis_size(AXIS)
+    s_idx = jax.lax.axis_index(AXIS)
+
+    def rank_fn(gpos):
+        own = (gpos // lcap == s_idx) | (
+            (gpos == d * lcap) & (s_idx == d - 1)
+        )
+        local = jnp.clip(gpos - s_idx * lcap, 0, lcap)
+        r = rank_global(bwt_loc, blkp_loc, local, K)
+        r = jnp.where(own[:, None], r, 0)
+        return jax.lax.psum(r, AXIS)
+
+    return rank_fn
+
+
+def _local_merge(bwt_loc, gX, sym, stream, active, lcap, K):
+    """Apply the round's insertions to this shard's window; returns the new
+    local buffer and its new GLOBAL-valued rank table."""
+    s_idx = jax.lax.axis_index(AXIS)
+    lo = s_idx.astype(I64) * lcap
+    m = gX.shape[0]
+
+    dest = gX + stream
+    trash = jnp.int64(lcap + m)
+    ldest = jnp.where(active, dest - lo, trash)  # OOB unless in my range
+    insmap = jnp.zeros((lcap,), jnp.int8)
+    insmap = insmap.at[ldest].set(
+        (sym + 1).astype(jnp.int8), mode="drop", unique_indices=True
+    )
+    marks = (insmap != 0).astype(I32)
+    c_local = cumsum_blocked(marks)  # inclusive
+    s_lo = jnp.sum((active & (dest < lo)).astype(I64))
+
+    # left neighbor's tail covers the rightward drift (<= m per round)
+    tail = bwt_loc[lcap - m :]
+    tail = jax.lax.ppermute(
+        tail, AXIS, [(i, i + 1) for i in range(jax.lax.axis_size(AXIS) - 1)]
+    )
+    stitched = jnp.concatenate([tail, bwt_loc])  # (m + lcap,)
+
+    t_idx = jnp.arange(lcap, dtype=I64)
+    src = m + t_idx - s_lo - c_local.astype(I64)
+    gathered = stitched[jnp.clip(src, 0, lcap + m - 1)]
+    new_loc = jnp.where(insmap != 0, insmap - 1, gathered)
+
+    # new local tables with global bases
+    local_pref = build_block_tables(new_loc, K)
+    totals = local_pref[-1]  # (6,)
+    all_tot = jax.lax.all_gather(totals, AXIS)  # (D, 6)
+    base = jnp.concatenate(
+        [jnp.zeros((1, NSYM), I64), jnp.cumsum(all_tot, axis=0)[:-1]]
+    )[s_idx]
+    return new_loc, local_pref + base[None, :]
+
+
+def sharded_bcr_batch_impl(state, reads, buf, n_rounds, *, K, so, lcap):
+    def round_body(d, carry):
+        st, rd = carry
+        bwt_loc = st.bwt[0]
+        blkp_loc = st.blk_prefix[0]
+        rank_fn = _shard_rank_fn(bwt_loc, blkp_loc, lcap, K)
+        new_reads, gX, sym, stream, active, ins_bucket, n_ins = plan_round(
+            st.psize, st.pcounts, rd, buf, d.astype(I32), d == 0,
+            rank_fn, so=so,
+        )
+        new_loc, new_blkp = _local_merge(
+            bwt_loc, gX, sym, stream, active, lcap, K
+        )
+        new_state = ShardedBwt(
+            bwt=new_loc[None],
+            blk_prefix=new_blkp[None],
+            n=st.n + n_ins,
+            psize=st.psize + jnp.sum(ins_bucket, axis=1),
+            pcounts=st.pcounts + ins_bucket,
+        )
+        return new_state, new_reads
+
+    return jax.lax.fori_loop(0, n_rounds, round_body, (state, reads))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "so", "lcap", "mesh"),
+    donate_argnums=(0, 1),
+)
+def sharded_bcr_batch(state, reads, buf, n_rounds, *, K, so, lcap, mesh):
+    shard = P(AXIS)
+    rep = P()
+    state_specs = ShardedBwt(
+        bwt=shard, blk_prefix=shard, n=rep, psize=rep, pcounts=rep
+    )
+    read_specs = ReadStates(l=rep, u=rep, c=rep, off=rep, slen=rep)
+    fn = shard_map(
+        functools.partial(sharded_bcr_batch_impl, K=K, so=so, lcap=lcap),
+        mesh=mesh,
+        in_specs=(state_specs, read_specs, rep, rep),
+        out_specs=(state_specs, read_specs),
+        check_vma=False,
+    )
+    return fn(state, reads, buf, n_rounds)
+
+
+class ShardedTpuBwt:
+    """Multi-device BWT builder: same API surface as TpuBwt, state sharded
+    over a 1-D mesh."""
+
+    def __init__(self, so=SO_IO, K=256, mesh=None):
+        if mesh is None:
+            from .mesh import make_mesh
+
+            mesh = make_mesh(axis=AXIS)
+        self.mesh = mesh
+        self.d = mesh.devices.size
+        self.so = so
+        self.K = K
+        self._n = 0
+        self._n_strings = 0
+        self.state = None  # created lazily at first plan
+        self._lcap = 0
+
+    # --- capacity planning (host-side; re-sharding copies the buffer) ---
+
+    def _plan(self, extra):
+        need = self._n + extra
+        if self.state is not None and need <= self._lcap * self.d:
+            return
+        lcap = _round_up(
+            _pad_pow2(-(-need // self.d), lo=max(self.K, 4096)), self.K
+        )
+        old = self.bwt_array() if self.state is not None else None
+        cap = lcap * self.d
+        flat = np.full(cap, PAD, dtype=np.int8)
+        if old is not None:
+            flat[: len(old)] = old
+        bwt = flat.reshape(self.d, lcap)
+        blkp = np.zeros((self.d, lcap // self.K + 1, NSYM), dtype=np.int64)
+        run = np.zeros(NSYM, dtype=np.int64)
+        for s in range(self.d):
+            local = build_block_tables(jnp.asarray(bwt[s]), self.K)
+            blkp[s] = np.asarray(local) + run[None, :]
+            run += np.asarray(local[-1])
+        psize = (
+            np.asarray(self.state.psize)
+            if self.state is not None
+            else np.zeros(NSYM, np.int64)
+        )
+        pcounts = (
+            np.asarray(self.state.pcounts)
+            if self.state is not None
+            else np.zeros((NSYM, NSYM), np.int64)
+        )
+        sh = NamedSharding(self.mesh, P(AXIS))
+        rep = NamedSharding(self.mesh, P())
+        self.state = ShardedBwt(
+            bwt=jax.device_put(jnp.asarray(bwt), sh),
+            blk_prefix=jax.device_put(jnp.asarray(blkp), sh),
+            n=jax.device_put(jnp.asarray(self._n, dtype=jnp.int64), rep),
+            psize=jax.device_put(jnp.asarray(psize), rep),
+            pcounts=jax.device_put(jnp.asarray(pcounts), rep),
+        )
+        self._lcap = lcap
+
+    def insert_multi(self, reads, already_reversed=False):
+        m = len(reads)
+        if m == 0:
+            return
+        lens = np.array([len(r) for r in reads], dtype=np.int32)
+        total = int(lens.sum()) + m
+        self._plan(total)
+        mpad = _pad_pow2(m)
+        npad = mpad - m
+        if mpad > self._lcap:  # drift guard: one round inserts <= mpad
+            self._plan(self._n + total + mpad * self.d)
+        bufcap = _pad_pow2(int(lens.sum()) + 1, lo=64)
+        buf = np.zeros(bufcap, dtype=np.int8)
+        off = np.zeros(mpad, dtype=np.int64)
+        slen = np.full(mpad, -1, dtype=np.int32)
+        pos = 0
+        for i, r in enumerate(reads):
+            rv = np.asarray(r, dtype=np.int8)
+            if not already_reversed:
+                rv = rv[::-1]
+            buf[pos : pos + len(rv)] = rv
+            off[npad + i] = pos
+            slen[npad + i] = len(rv)
+            pos += len(rv)
+        l = np.zeros(mpad, dtype=np.int64)
+        u = np.zeros(mpad, dtype=np.int64)
+        if self.so == SO_IO:
+            l[npad:] = self._n_strings + np.arange(m)
+            u[npad:] = l[npad:]
+        else:
+            u[npad:] = self._n_strings
+        rep = NamedSharding(self.mesh, P())
+        rs = ReadStates(
+            l=jax.device_put(jnp.asarray(l), rep),
+            u=jax.device_put(jnp.asarray(u), rep),
+            c=jax.device_put(jnp.zeros(mpad, I32), rep),
+            off=jax.device_put(jnp.asarray(off), rep),
+            slen=jax.device_put(jnp.asarray(slen), rep),
+        )
+        jbuf = jax.device_put(jnp.asarray(buf), rep)
+        self.state, _ = sharded_bcr_batch(
+            self.state,
+            rs,
+            jbuf,
+            jnp.asarray(int(lens.max()) + 1, dtype=I64),
+            K=self.K,
+            so=self.so,
+            lcap=self._lcap,
+            mesh=self.mesh,
+        )
+        self._n += total
+        self._n_strings += m
+
+    @property
+    def n(self):
+        return self._n
+
+    def counts(self):
+        return np.asarray(self.state.pcounts.sum(axis=0))
+
+    def bwt_array(self):
+        return np.asarray(self.state.bwt).reshape(-1)[: self._n]

@@ -20,6 +20,14 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon sitecustomize may have already registered the TPU backend and
+# overridden jax_platforms at interpreter startup; re-force CPU explicitly.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.devices()
+assert len(jax.devices()) >= 8, jax.devices()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
