@@ -168,10 +168,16 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
         ]
     )  # pprefix[b, s] = count of s in partitions < b
     gLq = poff[c] + L
-    gUq = poff[c] + U
     TL = rank_fn(gLq) - pprefix[c]
-    TU = rank_fn(gUq) - pprefix[c]
-    delta = TU - TL  # (M,6): per-symbol count inside the group interval
+    if so == SO_IO:
+        # input order keeps every interval empty (l == u by induction:
+        # mr_insert1's l==u path and singleton groups) — skip the second
+        # rank query, delta is identically zero
+        delta = jnp.zeros_like(TL)
+    else:
+        gUq = poff[c] + U
+        TU = rank_fn(gUq) - pprefix[c]
+        delta = TU - TL  # (M,6): per-symbol count inside the interval
 
     # ---- 4. insertion points per symbol, start-of-round local coords ----
     # X[:, s] = L + sum of delta over symbols emitted before s.
