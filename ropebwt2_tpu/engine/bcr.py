@@ -36,7 +36,7 @@ import numpy as np
 
 from ..alphabet import NSYM
 from ..oracle import SO_IO, SO_RCLO, SO_RLO
-from ..index.flat import FlatBwt, empty_state, grow_state, PAD
+from ..index.flat import FlatBwt, empty_state, grow_state
 from ..index.merge import apply_insertions
 from ..index.rank import build_block_tables, rank_global
 from ..index.scan import cumsum_blocked, cumsum_small

@@ -37,7 +37,6 @@ from .scan import cumsum_blocked
 
 B = 4096  # output block (symbols) per grid step
 LANE = 128
-PALLAS_PAD = LANE  # engine reserves this much slack capacity for DMA overread
 
 
 def _shift_cumsum(x, width):
@@ -124,7 +123,7 @@ def merge_pallas(bwt, pos, sym, stream, valid, *, K, interpret=False):
 
     bwt int8[CAP]; pos/stream int64[M] (old-coord insertion points + tie
     ranks); sym int32[M]; valid bool[M].  Requires CAP % B == 0,
-    CAP < 2^31, and n + #insertions <= CAP - PALLAS_PAD (DMA slack)."""
+    CAP >= B + 256, CAP < 2^31."""
     cap = bwt.shape[0]
     m = pos.shape[0]
     nb = cap // B

@@ -21,7 +21,7 @@ import struct
 import numpy as np
 
 from ..alphabet import NSYM
-from .rle_codec import dec_runs, enc_run, enc_size
+from .rle_codec import dec_runs, enc_run
 
 MAGIC = b"RB\x02"
 MIN_SPACE = 18  # RLE_MIN_SPACE (rle.h:35): keep headroom like a live block
