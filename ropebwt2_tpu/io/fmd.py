@@ -201,6 +201,102 @@ class FmdEncoder:
         out.write(b"".join(struct.pack("<Q", v) for v in self.frame))
 
 
+def read_fmd(path_or_file):
+    """Decode an FMD file back to (runs, mcnt) — rld_restore + rld_dec
+    equivalents (rld0.c:269-306, rld0.h:79-116).  Also accepts the raw
+    5+3 RLE byte-stream fallback the reference supports."""
+    f = (
+        open(path_or_file, "rb")
+        if isinstance(path_or_file, (str, bytes))
+        else path_or_file
+    )
+    close = isinstance(path_or_file, (str, bytes))
+    try:
+        head = f.read(4)
+        if head != b"RLD\x03":
+            # raw 5+3 RLE byte stream: byte = len<<3 | sym (rld0.c:276-289)
+            runs = []
+            data = head + f.read()
+            for byte in data:
+                if byte >> 3:
+                    c, l = byte & 7, byte >> 3
+                    if runs and runs[-1][0] == c:
+                        runs[-1][1] += l
+                    else:
+                        runs.append([c, l])
+            mcnt = [0] * 7
+            for c, l in runs:
+                mcnt[0] += l
+                mcnt[c + 1] += l
+            return [(c, l) for c, l in runs], mcnt
+
+        (a,) = struct.unpack("<I", f.read(4))
+        asize, sbits = a >> 16, a & 0xFFFF
+        asize1 = asize + 1
+        abits = _ilog2(asize) + 1
+        ssize = 1 << sbits
+        struct.unpack("<Q", f.read(8))  # reserved
+        (n_bytes,) = struct.unpack("<Q", f.read(8))
+        (n_frames,) = struct.unpack("<Q", f.read(8))
+        mcnt_tail = struct.unpack(f"<{asize}Q", f.read(8 * asize))
+        n_words = n_bytes // 8
+        words = struct.unpack(f"<{n_words}Q", f.read(8 * n_words))
+        # frames follow; not needed for decoding
+
+        offset0 = [
+            (asize1 * 16 + 63) // 64,
+            (asize1 * 32 + 63) // 64,
+            asize1,
+        ]
+        last = (n_bytes >> 3) >> sbits << sbits
+        runs = []
+        shead = 0
+        while shead != last:
+            type_ = words[shead] >> 62
+            p = shead + offset0[type_]
+            stail = shead + ssize - 1  # superblocks never split here: files
+            # smaller than RLD_LSIZE words; guarded below
+            if (shead + ssize) % RLD_LSIZE == 0:
+                stail -= 1
+            r = 64
+            while True:
+                x = (words[p] << (64 - r)) & 0xFFFFFFFFFFFFFFFF
+                if p != stail and r != 64:
+                    x |= words[p + 1] >> r
+                if x >> 63 == 0:
+                    w = (0x333333335555779B >> ((x >> 59) << 2)) & 0xF
+                    if w == 0xB and (x >> 58) == 0:
+                        break  # end of block padding
+                    l_ = (x >> (64 - w)) - 1
+                    y = ((x << w) & 0xFFFFFFFFFFFFFFFF) >> (64 - l_) | (
+                        1 << l_
+                    )
+                    w += l_
+                else:
+                    w = y = 1
+                c = ((x << w) & 0xFFFFFFFFFFFFFFFF) >> (64 - abits)
+                w += abits
+                if c > asize:
+                    break
+                if r > w:
+                    r -= w
+                else:
+                    p += 1
+                    r = 64 + r - w
+                if p > stail:
+                    break
+                if runs and runs[-1][0] == c:
+                    runs[-1][1] += y
+                else:
+                    runs.append([c, int(y)])
+            shead += ssize
+        mcnt = [sum(mcnt_tail)] + list(mcnt_tail)
+        return [(c, l) for c, l in runs], mcnt
+    finally:
+        if close:
+            f.close()
+
+
 def write_fmd(runs, out, log_summary=True):
     enc = FmdEncoder(6, 3)
     for c, l in runs:

@@ -106,6 +106,32 @@ def test_cli_small_batches_match(ref_binary, rng):
     assert got == want
 
 
+def test_cli_python_fallback_paths(ref_binary, rng):
+    """ROPEBWT2_TPU_NATIVE=0 forces the pure-Python reader/writers; output
+    must be unchanged."""
+    reads = random_reads(rng, n=20, lo=3, hi=15, with_n=True)
+    data = reads_to_lines(reads)
+    old = os.environ.get("ROPEBWT2_TPU_NATIVE")
+    os.environ["ROPEBWT2_TPU_NATIVE"] = "0"
+    try:
+        for flags in (["-LRs", "-"], ["-LRd", "-"], ["-LRB", "-"]):
+            assert run_cli(flags, data) == run_ref(ref_binary, flags, data)
+    finally:
+        if old is None:
+            os.environ.pop("ROPEBWT2_TPU_NATIVE", None)
+        else:
+            os.environ["ROPEBWT2_TPU_NATIVE"] = old
+
+
+def test_cli_single_string_mode(ref_binary, rng):
+    """-m0 single-string insertion path."""
+    reads = random_reads(rng, n=6, lo=3, hi=10)
+    data = reads_to_lines(reads)
+    assert run_cli(["-LR", "-m0", "-"], data) == run_ref(
+        ref_binary, ["-LR", "-m0", "-"], data
+    )
+
+
 def test_cli_output_file(ref_binary, rng, tmp_path):
     reads = random_reads(rng, n=10)
     data = reads_to_lines(reads)

@@ -104,6 +104,36 @@ def test_crlf_byte_identical(ref_binary, rng):
     assert buf.getvalue() == want
 
 
+def test_fmd_roundtrip_and_reference_decode(ref_binary, rng):
+    """Our FMD decoder reads back both our encoder's output and the
+    reference's -d output (rld_restore equivalence)."""
+    from ropebwt2_tpu.io.fmd import read_fmd
+
+    reads = random_reads(rng, n=35, lo=5, hi=30, with_n=True)
+    eng = _build(reads, so=1)
+    buf = io.BytesIO()
+    write_fmd(eng.runs(), buf, log_summary=False)
+    buf.seek(0)
+    runs, mcnt = read_fmd(buf)
+    assert runs == eng.runs()
+    assert mcnt[0] == eng.n
+
+    ref_out = run_ref(ref_binary, ["-LRsd", "-"], reads_to_lines(reads))
+    runs2, mcnt2 = read_fmd(io.BytesIO(ref_out))
+    assert runs2 == eng.runs()
+    assert mcnt2 == mcnt
+
+
+def test_fmd_raw_rle_fallback():
+    from ropebwt2_tpu.io.fmd import read_fmd
+
+    # 5+3 raw rle: (len<<3|sym) bytes; zero-length bytes skipped
+    raw = bytes([3 << 3 | 1, 2 << 3 | 1, 5 << 3 | 0, 0, 31 << 3 | 4])
+    runs, mcnt = read_fmd(io.BytesIO(raw))
+    assert runs == [(1, 5), (0, 5), (4, 31)]
+    assert mcnt[0] == 41 and mcnt[2] == 5 and mcnt[1] == 5
+
+
 def test_crlf_roundtrip(rng):
     eng = _build(random_reads(rng, n=20))
     buf = io.BytesIO()
