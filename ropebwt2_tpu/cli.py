@@ -137,7 +137,17 @@ def main(argv=None) -> int:
             log.error("main", "fail to open file '%s'", restore_path)
             return 1
     if bwt is None:
-        bwt = TpuBwt(so=so)
+        if os.environ.get("ROPEBWT2_TPU_SHARDED", "0") == "1":
+            import jax
+
+            from .parallel.sharded import ShardedTpuBwt
+
+            log.message(
+                "main", "sharded engine over %d devices", len(jax.devices())
+            )
+            bwt = ShardedTpuBwt(so=so)
+        else:
+            bwt = TpuBwt(so=so)
 
     ct, rt = log.cputime(), log.realtime()
     in_path = args[0] if args else None

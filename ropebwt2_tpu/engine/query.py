@@ -40,6 +40,26 @@ def rank2a(state, x, y, *, K=256):
     return ox, oy
 
 
+@functools.partial(jax.jit, static_argnames=("K",))
+def rank11(state, pos, c, *, K=256):
+    """Single-symbol rank (rld_rank11): # of symbol c[q] in BWT[0:pos[q]]."""
+    occ = rank1a(state, pos, K=K)
+    return jnp.take_along_axis(occ, c[:, None].astype(jnp.int32), axis=1)[
+        :, 0
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def rank21(state, x, y, c, *, K=256):
+    """Single-symbol two-point rank (rld_rank21)."""
+    ox, oy = rank2a(state, x, y, K=K)
+    ci = c[:, None].astype(jnp.int32)
+    return (
+        jnp.take_along_axis(ox, ci, axis=1)[:, 0],
+        jnp.take_along_axis(oy, ci, axis=1)[:, 0],
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("K", "is_back"))
 def extend(state, ik, *, is_back=True, K=256):
     """Batched rld_extend (rld0.c:473-489): one backward (is_back=True) or

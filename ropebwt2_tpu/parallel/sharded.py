@@ -275,6 +275,16 @@ class ShardedTpuBwt:
         self._n += total
         self._n_strings += m
 
+    def insert_nul_batch(self, nulbuf):
+        """Batch given as NUL-terminated insertion-oriented strings."""
+        nulbuf = np.ascontiguousarray(nulbuf).view(np.int8)
+        ends = np.flatnonzero(nulbuf == 0)
+        if len(ends) == 0:
+            return
+        starts = np.concatenate([[0], ends[:-1] + 1])
+        reads = [nulbuf[s:e] for s, e in zip(starts, ends)]
+        self.insert_multi(reads, already_reversed=True)
+
     @property
     def n(self):
         return self._n
@@ -284,3 +294,12 @@ class ShardedTpuBwt:
 
     def bwt_array(self):
         return np.asarray(self.state.bwt).reshape(-1)[: self._n]
+
+    def runs(self):
+        b = self.bwt_array()
+        if b.size == 0:
+            return []
+        change = np.flatnonzero(np.diff(b)) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [b.size]])
+        return [(int(b[s]), int(e - s)) for s, e in zip(starts, ends)]

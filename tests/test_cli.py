@@ -97,6 +97,31 @@ def test_cli_preprocessing_parity(flags, ref_binary, rng):
     assert run_cli(flags, data) == run_ref(ref_binary, flags, data)
 
 
+def test_rlo_shuffle_invariance(rng):
+    """The README's identity (README.md:15-25): `shuf | -LRs` equals
+    `rev | sort | rev | -LR` — RLO output is input-order invariant and
+    equals explicit reverse-lexicographic pre-sorting."""
+    reads = random_reads(rng, n=25, lo=3, hi=12)
+    data = reads_to_lines(reads)
+    out_rlo = run_cli(["-LRs", "-"], data)
+
+    shuffled = list(reads)
+    rng.shuffle(shuffled)
+    assert run_cli(["-LRs", "-"], reads_to_lines(shuffled)) == out_rlo
+
+    presorted = sorted(reads, key=lambda r: tuple(reversed(r)))
+    assert run_cli(["-LR", "-"], reads_to_lines(presorted)) == out_rlo
+
+
+def test_rclo_recipe_equivalence(rng):
+    """`-LRr` == complement-sort recipe (README.md:21-25)."""
+    reads = random_reads(rng, n=20, lo=3, hi=10)
+    out_rclo = run_cli(["-LRr", "-"], reads_to_lines(reads))
+    comp = lambda c: 5 - c if 1 <= c <= 4 else c  # noqa: E731
+    presorted = sorted(reads, key=lambda r: tuple(comp(c) for c in reversed(r)))
+    assert run_cli(["-LR", "-"], reads_to_lines(presorted)) == out_rclo
+
+
 def test_cli_small_batches_match(ref_binary, rng):
     """-m batching: many small flushes == reference with one batch."""
     reads = random_reads(rng, n=40, lo=3, hi=12)

@@ -30,6 +30,35 @@ def test_sharded_matches_single_device(so, rng):
     assert np.array_equal(sharded.counts(), single.counts())
 
 
+def test_sharded_cli(ref_binary, rng):
+    """CLI with ROPEBWT2_TPU_SHARDED=1 on the virtual mesh matches the
+    reference byte-for-byte."""
+    import os
+    import subprocess
+    import sys
+
+    from conftest import reads_to_lines, run_ref
+
+    reads = random_reads(rng, n=25, lo=4, hi=15)
+    data = reads_to_lines(reads)
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        ROPEBWT2_TPU_SHARDED="1",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "ropebwt2_tpu.cli", "-LRs", "-"],
+        input=data, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        cwd=repo, env=env,
+    )
+    assert r.returncode == 0, r.stderr.decode()
+    assert b"sharded engine over 8 devices" in r.stderr
+    assert r.stdout == run_ref(ref_binary, ["-LRs", "-"], data)
+
+
 def test_sharded_incremental_batches(rng):
     reads = random_reads(rng, n=60, lo=4, hi=20)
     single = TpuBwt(so=SO_RLO, K=256)
