@@ -136,6 +136,9 @@ def main(argv=None) -> int:
         except OSError:
             log.error("main", "fail to open file '%s'", restore_path)
             return 1
+        except (EOFError, ValueError) as e:
+            log.error("main", "fail to read FMR file '%s': %s", restore_path, e)
+            return 1
     if bwt is None:
         if os.environ.get("ROPEBWT2_TPU_SHARDED", "0") == "1":
             import jax

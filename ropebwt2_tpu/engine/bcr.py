@@ -203,7 +203,7 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     csum = cumsum_blocked(oh32)  # inclusive
     excl = csum - oh32
     grp_start = excl[headidx]  # counts before this group
-    bkt_start = excl[jax.lax.cummax(jnp.where(bucket_head, arange_m, 0))]
+    bkt_start = excl[bktheadidx]
     P = (grp_start - bkt_start).astype(I64)  # earlier groups, same bucket
 
     cnt_g = jax.ops.segment_sum(oh32, gid, num_segments=M)  # (M,6) per group

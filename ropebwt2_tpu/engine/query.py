@@ -18,6 +18,14 @@ from ..index.scan import cumsum_small
 I64 = jnp.int64
 
 
+def _state_K(state, K):
+    """Block size is derivable from the state's shapes; an explicit K only
+    needs to be passed to override (and must then match the engine's)."""
+    if K is not None:
+        return K
+    return state.bwt.shape[0] // (state.blk_prefix.shape[0] - 1)
+
+
 def _C(state):
     """Accumulative counts C(a) = # symbols < a (rld's e->cnt after finish).
     shape (7,): C[6] = total."""
@@ -26,22 +34,25 @@ def _C(state):
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
-def rank1a(state, pos, *, K=256):
+def rank1a(state, pos, *, K=None):
     """occ[q, s] = # of symbol s in BWT[0:pos[q]] (rld_rank1a / mr_rank2a
     single-point)."""
-    return rank_global(state.bwt, state.blk_prefix, pos.astype(I64), K)
+    return rank_global(
+        state.bwt, state.blk_prefix, pos.astype(I64), _state_K(state, K)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
-def rank2a(state, x, y, *, K=256):
+def rank2a(state, x, y, *, K=None):
     """Two-point rank: returns (occ_x, occ_y), each (Q, 6)."""
+    K = _state_K(state, K)
     ox = rank_global(state.bwt, state.blk_prefix, x.astype(I64), K)
     oy = rank_global(state.bwt, state.blk_prefix, y.astype(I64), K)
     return ox, oy
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
-def rank11(state, pos, c, *, K=256):
+def rank11(state, pos, c, *, K=None):
     """Single-symbol rank (rld_rank11): # of symbol c[q] in BWT[0:pos[q]]."""
     occ = rank1a(state, pos, K=K)
     return jnp.take_along_axis(occ, c[:, None].astype(jnp.int32), axis=1)[
@@ -50,7 +61,7 @@ def rank11(state, pos, c, *, K=256):
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
-def rank21(state, x, y, c, *, K=256):
+def rank21(state, x, y, c, *, K=None):
     """Single-symbol two-point rank (rld_rank21)."""
     ox, oy = rank2a(state, x, y, K=K)
     ci = c[:, None].astype(jnp.int32)
@@ -61,7 +72,7 @@ def rank21(state, x, y, c, *, K=256):
 
 
 @functools.partial(jax.jit, static_argnames=("K", "is_back"))
-def extend(state, ik, *, is_back=True, K=256):
+def extend(state, ik, *, is_back=True, K=None):
     """Batched rld_extend (rld0.c:473-489): one backward (is_back=True) or
     forward extension step of bi-intervals.
 
@@ -92,7 +103,7 @@ def extend(state, ik, *, is_back=True, K=256):
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
-def backward_search(state, patterns, lengths, *, K=256):
+def backward_search(state, patterns, lengths, *, K=None):
     """Count occurrences of patterns (as substrings of indexed reads).
 
     patterns: (Q, Lmax) int32 nt6 codes, aligned to the RIGHT end at column

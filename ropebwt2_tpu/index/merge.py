@@ -33,7 +33,9 @@ def apply_insertions(bwt, n, pos, sym, stream, valid):
     # mark[j] = number of insertions at old position j
     mark = jnp.zeros((cap,), dtype=jnp.int32)
     mark = mark.at[jnp.where(valid, pos, trash)].add(1, mode="drop")
-    shift = cumsum_blocked(mark)  # inclusive: shift[j] = #insertions at pos <= j
+    # exact=True: a single position can receive up to A insertions (e.g.
+    # duplicate reads), overflowing the f32 window-sum fast path
+    shift = cumsum_blocked(mark, exact=True)
 
     idx = jnp.arange(cap, dtype=jnp.int64)
     dest_old = idx + shift  # old element j -> j + shift[j]

@@ -53,9 +53,10 @@ def _shift_cumsum(x, width):
 
 
 def _lshift(x, r, out_w):
-    """x[:, r:r+out_w] for a traced scalar 0 <= r < 256, via conditional
-    static rotations (Mosaic forbids unaligned dynamic lane slicing)."""
-    for k in (128, 64, 32, 16, 8, 4, 2, 1):
+    """x[:, r:r+out_w] for a traced scalar 0 <= r <= 256 (the tail-clamped
+    window can shift by exactly 2*LANE), via conditional static rotations
+    (Mosaic forbids unaligned dynamic lane slicing)."""
+    for k in (256, 128, 64, 32, 16, 8, 4, 2, 1):
         rot = jnp.concatenate([x[:, k:], x[:, :k]], axis=1)
         bit = jnp.full((1, 1), (r & k) != 0)
         x = jnp.where(bit, rot, x)
@@ -155,7 +156,7 @@ def merge_pallas(bwt, pos, sym, stream, valid, *, K, interpret=False):
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # old bwt (1, CAP)
+            pl.BlockSpec(memory_space=pl.ANY),  # old bwt (1, CAP)
             pl.BlockSpec(
                 (1, B), lambda b, s: (0, b), memory_space=pltpu.VMEM
             ),  # insmap block

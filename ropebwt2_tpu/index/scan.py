@@ -30,17 +30,23 @@ def cumsum_small(x, axis=0):
     return x
 
 
-def cumsum_blocked(x):
+def cumsum_blocked(x, exact=False):
     """Inclusive prefix sum along axis 0 of an integer array shaped (M,) or
-    (M, C).  M must be a multiple of 256 unless M <= leaf size."""
+    (M, C).  M must be a multiple of 256 unless M <= leaf size.
+
+    The MXU path computes 256-element window sums in f32, exact only while
+    they stay below 2^24 — fine for one-hot/count inputs bounded by the
+    window length.  Pass exact=True when single elements can be large (e.g.
+    per-position insertion multiplicities): windows then use an integer
+    shift-add scan instead."""
     squeeze = x.ndim == 1
     if squeeze:
         x = x[:, None]
-    out = _cumsum2d(x)
+    out = _cumsum2d(x, exact)
     return out[:, 0] if squeeze else out
 
 
-def _cumsum2d(x):
+def _cumsum2d(x, exact=False):
     m, c = x.shape
     if m <= _LEAF or m % _B != 0:
         if x.dtype == jnp.int64 or m % _B != 0:
@@ -48,13 +54,16 @@ def _cumsum2d(x):
         return jnp.cumsum(x, axis=0)
     nb = m // _B
     xb = x.reshape(nb, _B, c)
-    tri = jnp.tril(jnp.ones((_B, _B), jnp.float32))
-    # window-local inclusive prefix sums; exact: window sums <= 256 * max
-    inner = jnp.einsum(
-        "ij,bjc->bic", tri, xb.astype(jnp.float32)
-    ).astype(x.dtype)
+    if exact:
+        inner = cumsum_small(xb, axis=1)
+    else:
+        tri = jnp.tril(jnp.ones((_B, _B), jnp.float32))
+        # window-local inclusive prefix sums; exact: window sums <= 2^24
+        inner = jnp.einsum(
+            "ij,bjc->bic", tri, xb.astype(jnp.float32)
+        ).astype(x.dtype)
     totals = inner[:, -1, :]  # (nb, c)
     bases = jnp.concatenate(
-        [jnp.zeros((1, c), x.dtype), _cumsum2d(totals)[:-1]]
+        [jnp.zeros((1, c), x.dtype), _cumsum2d(totals, exact)[:-1]]
     )
     return (inner + bases[:, None, :]).reshape(m, c)

@@ -91,8 +91,20 @@ def _write_rope(out, runs, block_len, max_nodes):
     emit_internal([lambda g=g: emit_bottom(g) for g in groups])
 
 
+def _clamp_params(block_len, max_nodes):
+    """The reference clamps construction params in rope_init (rope.c:59-61):
+    block_len >= 32 rounded up to x8, max_nodes rounded up to even.  Its -b
+    dump therefore always carries clamped values; match, and keep leaf
+    payloads within the restorer's fixed-size leaf allocation."""
+    block_len = max(block_len, 32)
+    block_len = (block_len + 7) >> 3 << 3
+    max_nodes = (max_nodes + 1) >> 1 << 1
+    return block_len, max_nodes
+
+
 def write_fmr_runs(partition_runs, so, out, block_len=512, max_nodes=64):
     """partition_runs: list of 6 run lists [(sym, len), ...]."""
+    block_len, max_nodes = _clamp_params(block_len, max_nodes)
     out.write(MAGIC)
     out.write(bytes([so]))
     for b in range(NSYM):
@@ -213,6 +225,7 @@ def write_tree_debug(bwt, out, block_len=512, max_nodes=64):
     packing, not the reference's insertion history; leaf concatenation (the
     BWT content) is identical."""
     tab = b"$ACGTN"
+    block_len, max_nodes = _clamp_params(block_len, max_nodes)
     for runs in partition_runs_from_state(bwt):
         leaves = _pack_leaves(runs, block_len)
         out.write(b"(")

@@ -55,7 +55,9 @@ def preprocess_record(
     s = NT6_TABLE[np.frombuffer(seq, dtype=np.uint8)].astype(np.int8)
     if qual and min_q > 0:
         q = np.frombuffer(qual, dtype=np.uint8).astype(np.int32) - 33
-        s = np.where(q[: len(s)] >= min_q, s, np.int8(5)).astype(np.int8)
+        k = min(len(s), len(q))  # tolerate truncated quality strings
+        s = s.copy()
+        s[:k] = np.where(q[:k] >= min_q, s[:k], np.int8(5))
     if skip_n and bool(np.any(s == 5)):
         return
     s = s[::-1].copy()  # insertion orientation (main.c:200-203)
@@ -70,6 +72,13 @@ def preprocess_record(
                 seg = s[b:i]
                 if len(seg) >= min_cut_len:
                     if trim_palindrome and is_rev_same(seg):
+                        if len(seg) == 0:
+                            # reference: is_rev_same is vacuously true for an
+                            # empty segment, and its --k then overwrites the
+                            # previous NUL — the empty segment vanishes
+                            # (main.c:210)
+                            b = i + 1
+                            continue
                         seg = seg[:-1]
                     out.append(seg)
                     out.append(np.zeros(1, dtype=np.int8))

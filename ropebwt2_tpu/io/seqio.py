@@ -64,13 +64,20 @@ def read_fastx(stream):
             qual = None
             in_record = True
         elif line[:1] == b"+" and in_record:
+            # kseq semantics (kseq.h:197-208): consume at least one quality
+            # line, read until length matches; a mismatch (incl. empty-seq
+            # records) is a fatal parse error — stop like kseq's -2.
             qual = bytearray()
-            while len(qual) < len(seq):
+            while True:
                 try:
                     ql = next(lines).rstrip(b"\r\n")
                 except StopIteration:
                     break
                 qual.extend(ql)
+                if len(qual) >= len(seq):
+                    break
+            if len(qual) != len(seq):
+                return
             yield bytes(seq), bytes(qual)
             seq = bytearray()
             qual = None

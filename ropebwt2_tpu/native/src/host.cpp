@@ -95,6 +95,7 @@ void rb2_close(void *h) {
 // read one record into r->seq / r->qual; returns 0 at EOF, 1 otherwise
 static int next_record(Reader *r) {
   std::string line;
+  if (r->eof) return 0;
   r->seq.clear();
   r->qual.clear();
   if (r->line_mode) {
@@ -124,8 +125,17 @@ static int next_record(Reader *r) {
     r->seq.append(line);
   }
   if (fastq) {
-    while (r->qual.size() < r->seq.size() && read_line(r, &line))
+    // kseq semantics (kseq.h:197-208): always consume at least one quality
+    // line, then keep reading until length matches; a length mismatch is a
+    // fatal parse error (kseq returns -2) and input processing stops.
+    do {
+      if (!read_line(r, &line)) break;
       r->qual.append(line);
+    } while (r->qual.size() < r->seq.size());
+    if (r->qual.size() != r->seq.size()) {
+      r->eof = true;
+      return 0;
+    }
   }
   return 1;
 }
@@ -150,10 +160,14 @@ static int64_t emit_record(std::vector<uint8_t> &work, int min_cut_len,
       if (i == l || work[i] == 5) {
         int64_t seg = i - b;
         if (seg >= min_cut_len) {
-          // seg > 0 guard: the reference's is_rev_same is vacuously true for
-          // an empty segment and its --k then cancels against the NUL write
-          // (or underflows at k==0); net effect equals not trimming.
-          if (trim_pal && seg > 0 && is_rev_same(&work[k - seg], seg)) --k;
+          if (trim_pal && seg == 0) {
+            // reference: is_rev_same is vacuously true for an empty segment
+            // and its --k then overwrites the previous NUL — the empty
+            // segment vanishes (main.c:210)
+            b = i + 1;
+            continue;
+          }
+          if (trim_pal && is_rev_same(&work[k - seg], seg)) --k;
           work[k++] = 0;
         } else {
           k -= seg;
@@ -233,11 +247,11 @@ int64_t rb2_next_batch(void *h, uint8_t *out, int64_t out_cap,
       std::swap(work[i], work[l - 1 - i]);  // reverse (insertion orientation)
     int64_t app = emit_record(work, min_cut_len, cut_n, trim_pal, fwd, rev,
                               out, out_cap, out_len);
-    if (app < 0) {  // doesn't fit: stash record for the next batch
-      if (out_len == 0) return -1;  // caller's buffer too small outright
+    if (app < 0) {  // doesn't fit: stash the record for the next attempt
       r->carry_seq = r->seq;
       r->carry_qual = r->qual;
       r->has_carry = true;
+      if (out_len == 0) return -1;  // buffer too small even empty: grow+retry
       break;
     }
     out_len += app;
@@ -564,6 +578,11 @@ static void write_rope(FILE *fp, const uint8_t *sym, const int64_t *len,
 int rb2_fmr_write(const uint8_t *sym, const int64_t *len,
                   const int64_t *part_runs, int so, const char *path,
                   int block_len, int max_nodes) {
+  // rope_init's clamps (rope.c:59-61); the reference dump always carries
+  // the clamped values
+  if (block_len < 32) block_len = 32;
+  block_len = (block_len + 7) >> 3 << 3;
+  max_nodes = (max_nodes + 1) >> 1 << 1;
   FILE *fp = (path == nullptr || strcmp(path, "-") == 0)
                  ? stdout
                  : fopen(path, "wb");
