@@ -51,8 +51,7 @@ def _use_pallas_merge(cap: int) -> bool:
         return False
     return (
         jax.default_backend() == "tpu"
-        and cap % mp.B == 0
-        and cap >= mp.B + 2 * mp.LANE
+        and cap % (mp.SUPER * mp.B) == 0
         and cap < (1 << 31)
     )
 

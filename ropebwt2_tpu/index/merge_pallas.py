@@ -1,27 +1,35 @@
-"""Pallas TPU kernel for the BCR merge pass.
+"""Pallas TPU kernel for the BCR merge pass (gridless formulation).
 
-One grid step produces one B-symbol output block of the new BWT.  The
-insertion pattern is precomputed OUTSIDE the kernel as one CAP-sized int8
-array ``insmap`` (0 = no insertion at this output lane, s+1 = insert symbol
-s) — built with an M-sized scatter, which XLA handles cheaply (it is the
-CAP-sized element scatter that is catastrophically slow and that this kernel
-replaces).  The kernel then:
+One pallas_call applies a whole round's insertions and rebuilds the
+per-block rank counts.  The insertion pattern is precomputed OUTSIDE as one
+CAP-sized int8 ``insmap`` (0 = no insertion at this output position,
+s+1 = insert symbol s) via an M-sized scatter (cheap in XLA — it is the
+CAP-sized element scatter this kernel replaces), plus a per-block
+insertion-count prefix ``start_ins`` (searchsorted, SMEM-resident).
 
-  * DMAs the block's window of the OLD buffer.  The window start
-    (b*B - start_ins[b], from a searchsorted prefix outside) is not
-    lane-aligned, and Mosaic only allows 128-multiple dynamic lane offsets —
-    so it fetches the 128-aligned superset and corrects with a uniform
-    lane shift done as 7 conditional static rotations.
-  * expands the old symbols around the insertion lanes: non-insertion lane p
-    takes old[p - cnt_le[p]] where cnt_le = #insertion lanes <= p
-    (a Hillis-Steele prefix sum of the insertion mask); the value is
-    selected from a window vector shifted right one lane per t-loop step
-    (t-loop trip count = this block's insertion count, few on average).
-  * emits the new symbols AND their per-K-block counts, fusing the rank
-    table rebuild into the same pass.
+The attached toolchain rejects several standard Pallas constructs, which
+dictates the shape of this kernel (probed empirically):
 
-Traffic: ~4 bytes/symbol/round (old read, insmap build+read, new write) vs
-~30+ for the XLA scatter formulation (merge.apply_insertions).
+* grid + index_map pipelines do not legalize -> single invocation with an
+  in-kernel fori_loop over output blocks and manual DMAs;
+* int8 vectors only support load/widen/narrow/store (no compares) -> all
+  compute in int32;
+* arrays with a unit sublane dim and unaligned slices are rejected ->
+  everything lives in (rows, 128) layout, DMA row starts/sizes are
+  multiples of 8 rows, and the sub-row misalignment is corrected in-VMEM
+  with uniform conditional static shifts;
+* reduce-to-scalar inside the kernel emits 64-bit ops -> per-block
+  insertion counts come from the SMEM prefix instead;
+* python-int literals under jax x64 weak-promote to int64 (no 64-bit in
+  Mosaic) -> the kernel body is traced under jax.enable_x64(False).
+
+Per output block b (B symbols = 32 rows): the old-buffer window starts at
+old_start = b*B - start_ins[b] symbols; DMA the 8-row-aligned superset
+(WROWS=48 rows), flat-shift left by the remainder, then expand: non-insert
+position p takes old[p - cnt_le[p]] (cnt_le = prefix of insertion mask),
+selected by walking t upward while flat-shifting the window one symbol per
+step — the walk's trip count is the block's insertion count (few on
+average).
 """
 
 import functools
@@ -35,87 +43,131 @@ from ..alphabet import NSYM
 from .flat import PAD
 from .scan import cumsum_blocked
 
-B = 4096  # output block (symbols) per grid step
+B = 4096  # symbols per output block (the expand-walk granularity)
 LANE = 128
+ROWS = B // LANE  # 32 rows per output block
+WROWS = 40  # old-window rows per block: 32 + 8 (sub-window alignment slack)
+SUPER = 8  # output blocks fetched/stored per DMA round-trip
+SROWS = SUPER * ROWS  # 256
+SWROWS = SROWS + 16  # super window: SUPER blocks + alignment + edge slack
+PAD_ROWS = 16  # input padded by this much so windows never clamp
+I32 = jnp.int32
 
 
-def _shift_cumsum(x, width):
-    """Inclusive prefix sum along the last axis of (1, width) via
-    Hillis-Steele adds with static concat-shifts."""
-    sh = 1
-    while sh < width:
-        shifted = jnp.concatenate(
-            [jnp.zeros((1, sh), x.dtype), x[:, : width - sh]], axis=1
-        )
-        x = x + shifted
-        sh <<= 1
-    return x
-
-
-def _lshift(x, r, out_w):
-    """x[:, r:r+out_w] for a traced scalar 0 <= r <= 256 (the tail-clamped
-    window can shift by exactly 2*LANE), via conditional static rotations
-    (Mosaic forbids unaligned dynamic lane slicing)."""
-    for k in (256, 128, 64, 32, 16, 8, 4, 2, 1):
-        rot = jnp.concatenate([x[:, k:], x[:, :k]], axis=1)
+def _flat_shift_left(v, r, max_bits):
+    """Flattened-order left shift of a (rows, 128) int32 array by a traced
+    scalar r (0 <= r < 2^max_bits), via conditional static shifts; vacated
+    tail positions are garbage (callers never select them)."""
+    rows = v.shape[0]
+    for k in [1 << i for i in range(max_bits - 1, -1, -1)]:
+        if k % LANE == 0:  # whole-row shift
+            q = k // LANE
+            sh = jnp.concatenate([v[q:, :], v[:q, :]], axis=0)
+        else:  # lane shift with row carry: position p takes p + k
+            nxt = jnp.concatenate([v[1:, :], v[:1, :]], axis=0)
+            sh = jnp.concatenate([v[:, k:], nxt[:, :k]], axis=1)
         bit = jnp.full((1, 1), (r & k) != 0)
-        x = jnp.where(bit, rot, x)
-    return x[:, :out_w]
+        v = jnp.where(bit, sh, v)
+    return v
 
 
-def _merge_kernel(start_ref, old_hbm, insmap_ref, out_ref, cnt_ref,
-                  oldv, sem, *, K):
+def _flat_shift_right1(v):
+    """Position p takes p-1 (garbage enters at position 0)."""
+    prv = jnp.concatenate([v[:1, :], v[:-1, :]], axis=0)  # row r-1
+    return jnp.concatenate([prv[:, LANE - 1 :], v[:, : LANE - 1]], axis=1)
+
+
+def _flat_prefix(x):
+    """Inclusive prefix sum over flattened (ROWS, 128) order."""
+    # row totals via reduction (an offset-127 slice would feed an axis-0
+    # concat with mismatched lane offsets, which Mosaic rejects)
+    tot = jnp.sum(x, axis=1, keepdims=True)  # (ROWS, 1)
+    # within-row prefix along lanes
+    sh = 1
+    while sh < LANE:
+        x = x + jnp.concatenate(
+            [jnp.zeros((ROWS, sh), x.dtype), x[:, : LANE - sh]], axis=1
+        )
+        sh <<= 1
+    # inclusive prefix of row totals, shifted to exclusive
+    sh = 1
+    csum = tot
+    while sh < ROWS:
+        csum = csum + jnp.concatenate(
+            [jnp.zeros((sh, 1), x.dtype), csum[: ROWS - sh, :]], axis=0
+        )
+        sh <<= 1
+    prev_rows = csum - tot  # exclusive row-total prefix
+    return x + prev_rows
+
+
+def _merge_kernel(start_ref, old_hbm, ins_hbm, out_ref,
+                  oldv, insv, outv, sems):
     with jax.enable_x64(False):
-        _merge_body(start_ref, old_hbm, insmap_ref, out_ref, cnt_ref,
-                    oldv, sem, K=K)
+        _merge_body(start_ref, old_hbm, ins_hbm, out_ref,
+                    oldv, insv, outv, sems)
 
 
-def _merge_body(start_ref, old_hbm, insmap_ref, out_ref, cnt_ref,
-                oldv, sem, *, K):
-    cap = old_hbm.shape[1]
-    W = B + 2 * LANE  # window incl. alignment + tail-clamp slack
-    b = pl.program_id(0)
-    s0 = start_ref[b]
-    n_ins = start_ref[b + 1] - s0
-    old_start = b * B - s0  # in [0, cap - B]
-    # clamp the aligned window fully inside the array; r stays < 256
-    a = jnp.minimum((old_start // LANE) * LANE, cap - W)
-    a = pl.multiple_of(a, LANE)
-    r = old_start - a
+def _merge_body(start_ref, old_hbm, ins_hbm, out_ref,
+                oldv, insv, outv, sems):
+    cap_rows = old_hbm.shape[0] - PAD_ROWS
+    nsb = cap_rows // SROWS  # super-blocks
 
-    cp = pltpu.make_async_copy(
-        old_hbm.at[:, pl.ds(a, W)], oldv, sem
-    )
-    cp.start()
+    def super_body(sb, _):
+        b0 = sb * SUPER
+        s0_first = start_ref[b0]
+        old_start_first = b0 * B - s0_first  # in [0, cap - SUPER*B]
+        rowq_s = pl.multiple_of(
+            (old_start_first // (8 * LANE)) * 8, 8
+        )
 
-    insmap = insmap_ref[...]  # (1, B) int8; 0 = no insertion
-    is_ins = (insmap != 0).astype(jnp.int32)
-    cnt_le = _shift_cumsum(is_ins, B)
+        cp_old = pltpu.make_async_copy(
+            old_hbm.at[pl.ds(rowq_s, SWROWS), :], oldv, sems.at[0]
+        )
+        cp_ins = pltpu.make_async_copy(
+            ins_hbm.at[pl.ds(sb * SROWS, SROWS), :], insv, sems.at[1]
+        )
+        cp_old.start()
+        cp_ins.start()
+        cp_ins.wait()
+        cp_old.wait()
 
-    cp.wait()
-    old_local = _lshift(oldv[...], r, B)
+        for j in range(SUPER):  # static unroll over sub-blocks
+            b = b0 + j
+            s0 = start_ref[b]
+            n_ins = start_ref[b + 1] - s0
+            old_start = b * B - s0
+            rowq_j = pl.multiple_of((old_start // (8 * LANE)) * 8, 8)
+            off = pl.multiple_of(rowq_j - rowq_s, 8)  # rows into oldv
+            rem = old_start - rowq_j * LANE  # < 1024
 
-    # expansion: lane p takes old[p - t] where t = cnt_le[p]; walk t upward
-    # while shifting the window vector right one lane per step
-    def step(t, carry):
-        acc, v = carry
-        acc = jnp.where((cnt_le == t) & (is_ins == 0), v, acc)
-        v = jnp.concatenate([v[:, :1], v[:, : B - 1]], axis=1)
-        return acc, v
+            insmap = insv[j * ROWS : (j + 1) * ROWS, :].astype(I32)
+            is_ins = (insmap != 0).astype(I32)
+            cnt_le = _flat_prefix(is_ins)
 
-    acc, _ = jax.lax.fori_loop(
-        0, n_ins + 1, step, (jnp.full((1, B), PAD, jnp.int8), old_local)
-    )
-    out = jnp.where(insmap != 0, insmap - 1, acc)
-    out_ref[...] = out
+            old32 = oldv[pl.ds(off, WROWS), :].astype(I32)
+            old_al = _flat_shift_left(old32, rem, 10)[:ROWS, :]
 
-    # fused per-K-block symbol counts of the fresh output
-    final = out.reshape(B // K, K)
-    cols = [
-        jnp.sum((final == s).astype(jnp.int32), axis=1, keepdims=True)
-        for s in range(NSYM)
-    ]
-    cnt_ref[:, :] = jnp.concatenate(cols, axis=1)
+            def step(t, carry):
+                acc, v = carry
+                acc = jnp.where((cnt_le == t) & (is_ins == 0), v, acc)
+                return acc, _flat_shift_right1(v)
+
+            acc, _ = jax.lax.fori_loop(
+                0, n_ins + 1, step,
+                (jnp.full((ROWS, LANE), PAD, I32), old_al),
+            )
+            out = jnp.where(is_ins != 0, insmap - 1, acc)
+            outv[j * ROWS : (j + 1) * ROWS, :] = out.astype(jnp.int8)
+
+        cp_out = pltpu.make_async_copy(
+            outv, out_ref.at[pl.ds(sb * SROWS, SROWS), :], sems.at[2]
+        )
+        cp_out.start()
+        cp_out.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nsb, super_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "interpret"))
@@ -124,11 +176,13 @@ def merge_pallas(bwt, pos, sym, stream, valid, *, K, interpret=False):
 
     bwt int8[CAP]; pos/stream int64[M] (old-coord insertion points + tie
     ranks); sym int32[M]; valid bool[M].  Requires CAP % B == 0,
-    CAP >= B + 256, CAP < 2^31."""
+    CAP >= 2*B, CAP < 2^31, and K % LANE == 0."""
     cap = bwt.shape[0]
     m = pos.shape[0]
     nb = cap // B
-    assert cap % B == 0 and cap >= B + 2 * LANE and cap < (1 << 31)
+    cap_rows = cap // LANE
+    assert cap % (SUPER * B) == 0 and cap < (1 << 31)
+    assert K % LANE == 0
 
     dest = pos + stream  # new-coordinate destinations, strictly increasing
     trash = jnp.int64(cap + B)
@@ -140,8 +194,8 @@ def merge_pallas(bwt, pos, sym, stream, valid, *, K, interpret=False):
         (sym + 1).astype(jnp.int8), mode="drop", unique_indices=True
     )
 
-    # per-block insertion-count prefix (for old-window offsets): build the
-    # stream-ordered destination list and searchsorted the block bounds
+    # per-block insertion-count prefix: stream-ordered destinations are
+    # sorted, so block bounds come from one searchsorted
     stream_idx = jnp.where(valid, stream, m + B)  # invalid -> OOB -> dropped
     dest_s = jnp.full((m + B,), trash, jnp.int64)
     dest_s = dest_s.at[stream_idx].set(
@@ -150,41 +204,31 @@ def merge_pallas(bwt, pos, sym, stream, valid, *, K, interpret=False):
     bounds = jnp.arange(nb + 1, dtype=jnp.int64) * B
     start_ins = jnp.searchsorted(
         dest_s[:m], bounds, side="left"
-    ).astype(jnp.int32)
+    ).astype(I32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb,),
+    old_padded = jnp.concatenate(
+        [bwt, jnp.full((PAD_ROWS * LANE,), PAD, jnp.int8)]
+    )
+    new_bwt = pl.pallas_call(
+        _merge_kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # old bwt (1, CAP)
-            pl.BlockSpec(
-                (1, B), lambda b, s: (0, b), memory_space=pltpu.VMEM
-            ),  # insmap block
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # start_ins
+            pl.BlockSpec(memory_space=pl.ANY),  # old bwt (rows, 128)
+            pl.BlockSpec(memory_space=pl.ANY),  # insmap (rows, 128)
         ],
-        out_specs=[
-            pl.BlockSpec((1, B), lambda b, s: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (B // K, NSYM), lambda b, s: (b, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((cap_rows, LANE), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((1, B + 2 * LANE), jnp.int8),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((SWROWS, LANE), jnp.int8),
+            pltpu.VMEM((SROWS, LANE), jnp.int8),
+            pltpu.VMEM((SROWS, LANE), jnp.int8),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
-    )
-    new_bwt, cnts = pl.pallas_call(
-        functools.partial(_merge_kernel, K=K),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, cap), jnp.int8),
-            jax.ShapeDtypeStruct((cap // K, NSYM), jnp.int32),
-        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(start_ins, bwt.reshape(1, cap), insmap.reshape(1, cap))
-    blk_prefix = jnp.concatenate(
-        [
-            jnp.zeros((1, NSYM), jnp.int64),
-            cumsum_blocked(cnts.astype(jnp.int64)),
-        ]
-    )
-    return new_bwt.reshape(cap), blk_prefix
+    )(start_ins, old_padded.reshape(cap_rows + PAD_ROWS, LANE),
+      insmap.reshape(cap_rows, LANE)).reshape(cap)
+
+    from .rank import build_block_tables
+
+    return new_bwt, build_block_tables(new_bwt, K)
