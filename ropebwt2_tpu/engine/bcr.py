@@ -91,8 +91,13 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     flat buffer is stored: ``rank_fn(gpos) -> (M, 6)`` supplies GLOBAL
     6-symbol ranks (single-device table lookup, or a psum over shards).
 
+    Position arithmetic runs in the dtype of reads.l (int32 when the
+    capacity fits — int64 vector ops are an order of magnitude slower on
+    TPU; the driver picks the dtype).
+
     Returns (new_reads, gX, sym, stream, active, ins_bucket, n_ins)."""
     M = reads.l.shape[0]
+    pdt = reads.l.dtype
     em = jnp.asarray(_insertion_order(so), dtype=I32)
     arange_m = jnp.arange(M, dtype=I32)
 
@@ -152,20 +157,20 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     # all of which land before it).  E = #reads in earlier groups of this
     # bucket recovers start-of-round coordinates, in which the old buffer
     # and its rank tables live.
-    E = (headidx - bktheadidx).astype(I64)
+    E = (headidx - bktheadidx).astype(pdt)
     L = l[headidx] - E
     U = u[headidx] - E
 
     # ---- 3. batched rank2a at the group interval ends ----
     poff = jnp.concatenate(
         [jnp.zeros(1, I64), cumsum_small(psize)[:-1]]
-    )  # partition offsets
+    ).astype(pdt)  # partition offsets
     pprefix = jnp.concatenate(
         [
             jnp.zeros((1, NSYM), I64),
             cumsum_small(pcounts, axis=0)[:-1],
         ]
-    )  # pprefix[b, s] = count of s in partitions < b
+    ).astype(pdt)  # pprefix[b, s] = count of s in partitions < b
     gLq = poff[c] + L
     TL = rank_fn(gLq) - pprefix[c]
     if so == SO_IO:
@@ -203,21 +208,42 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     excl = csum - oh32
     grp_start = excl[headidx]  # counts before this group
     bkt_start = excl[bktheadidx]
-    P = (grp_start - bkt_start).astype(I64)  # earlier groups, same bucket
+    P = (grp_start - bkt_start).astype(pdt)  # earlier groups, same bucket
 
-    cnt_g = jax.ops.segment_sum(oh32, gid, num_segments=M)  # (M,6) per group
-    cnt_row = cnt_g[gid]
+    # per-row group totals WITHOUT a scatter-add segment_sum: groups are
+    # contiguous runs, so total = inclusive csum at the group tail minus the
+    # exclusive csum at the group head.  Tail index = next head - 1.
+    nexthead = jax.lax.cummin(
+        jnp.where(head, arange_m, M), reverse=True
+    )  # first head index >= i (M if none)
+    tailidx = jnp.clip(
+        jnp.concatenate([nexthead[1:], jnp.full((1,), M, I32)]) - 1,
+        0,
+        M - 1,
+    )
+    cnt_row = csum[tailidx] - grp_start  # (M,6) group totals per row
 
-    ins_bucket = jax.ops.segment_sum(
-        oh32, jnp.where(active, c, NSYM - 1), num_segments=NSYM
-    ).astype(I64)
-    # rows sent to segment 5 when inactive contribute zero (oh masked)
+    # per-bucket inserted-symbol totals: a 6xM one-hot contraction (MXU)
+    # instead of a scatter-add into 6 segments
+    if M <= (1 << 24):  # f32 accumulation exact up to 2^24
+        bucket_oh = (
+            jnp.arange(NSYM, dtype=I32)[:, None] == c[None, :]
+        ) & active[None, :]
+        ins_bucket = jnp.einsum(
+            "bm,ms->bs",
+            bucket_oh.astype(jnp.float32),
+            oh32.astype(jnp.float32),
+        ).astype(I64)
+    else:
+        ins_bucket = jax.ops.segment_sum(
+            oh32, jnp.where(active, c, NSYM - 1), num_segments=NSYM
+        ).astype(I64)
     ac_excl = jnp.concatenate(
         [
             jnp.zeros((1, NSYM), I64),
             cumsum_small(pcounts + ins_bucket, axis=0)[:-1],
         ]
-    )  # (6,6): counts of s in partitions < b after this round
+    ).astype(pdt)  # (6,6): counts of s in partitions < b after this round
 
     # ---- global tie rank (stream index) of each read's insertion ----
     em_lt = (em[None, :] < em[:, None]).astype(I32)  # em_lt[a, b] = em_b < em_a
@@ -227,9 +253,9 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     rank_in_run = take_sym(excl) - take_sym(grp_start)
     n_inert = jnp.sum(inert.astype(I32))
     stream = (
-        (headidx - n_inert).astype(I64)
-        + before_in_group.astype(I64)
-        + rank_in_run.astype(I64)
+        (headidx - n_inert).astype(pdt)
+        + before_in_group.astype(pdt)
+        + rank_in_run.astype(pdt)
     )
 
     # ---- interval update (+ fused cross-bucket rebase) ----
@@ -247,8 +273,10 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
 def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so):
     """One BCR round: insert the d-th (from read end) symbol of every active
     read. Returns (new_state, new_reads, n_inserted)."""
+    pdt = reads.l.dtype
+    blk_tbl = state.blk_prefix.astype(pdt)  # int64 gathers are very slow
     rank_fn = lambda gpos: rank_global(  # noqa: E731
-        state.bwt, state.blk_prefix, gpos, K
+        state.bwt, blk_tbl, gpos, K
     )
     new_reads, gX, sym, stream, active, ins_bucket, n_ins = plan_round(
         state.psize, state.pcounts, reads, buf, d, is_first, rank_fn, so=so
@@ -413,8 +441,16 @@ class TpuBwt:
         mpad = off.shape[0]
         npad = mpad - m
         n_sent = self._n_strings
-        l = np.zeros(mpad, dtype=np.int64)
-        u = np.zeros(mpad, dtype=np.int64)
+        # int64 vector arithmetic is ~10x slower on TPU: use int32 positions
+        # whenever the planned capacity (and the read buffer) fit
+        pdt = (
+            np.int32
+            if self.state.cap < (1 << 31) - 1 and buf.shape[0] < (1 << 31)
+            else np.int64
+        )
+        off = off.astype(pdt)
+        l = np.zeros(mpad, dtype=pdt)
+        u = np.zeros(mpad, dtype=pdt)
         if self.so == SO_IO:
             l[npad:] = n_sent + np.arange(m)
             u[npad:] = l[npad:]

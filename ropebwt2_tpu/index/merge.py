@@ -28,7 +28,8 @@ def apply_insertions(bwt, n, pos, sym, stream, valid):
     valid:  bool[M].
     """
     cap = bwt.shape[0]
-    trash = jnp.int64(cap)  # scatter target for masked lanes (mode=drop)
+    pdt = pos.dtype
+    trash = jnp.asarray(cap, pdt)  # scatter target for masked lanes
 
     # mark[j] = number of insertions at old position j
     mark = jnp.zeros((cap,), dtype=jnp.int32)
@@ -37,7 +38,7 @@ def apply_insertions(bwt, n, pos, sym, stream, valid):
     # duplicate reads), overflowing the f32 window-sum fast path
     shift = cumsum_blocked(mark, exact=True)
 
-    idx = jnp.arange(cap, dtype=jnp.int64)
+    idx = jnp.arange(cap, dtype=pdt)
     dest_old = idx + shift  # old element j -> j + shift[j]
     new = jnp.full((cap,), PAD, dtype=bwt.dtype)
     # elements at j >= n are PAD and land at j + A >= n + A: harmless.

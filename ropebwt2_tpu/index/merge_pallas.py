@@ -47,7 +47,7 @@ B = 4096  # symbols per output block (the expand-walk granularity)
 LANE = 128
 ROWS = B // LANE  # 32 rows per output block
 WROWS = 40  # old-window rows per block: 32 + 8 (sub-window alignment slack)
-SUPER = 8  # output blocks fetched/stored per DMA round-trip
+SUPER = 32  # output blocks fetched/stored per DMA round-trip
 SROWS = SUPER * ROWS  # 256
 SWROWS = SROWS + 16  # super window: SUPER blocks + alignment + edge slack
 PAD_ROWS = 16  # input padded by this much so windows never clamp
@@ -102,14 +102,37 @@ def _flat_prefix(x):
 
 
 def _merge_kernel(start_ref, old_hbm, ins_hbm, out_ref,
-                  oldv, insv, outv, sems):
+                  oldv, insv, outv, alignv, sems):
     with jax.enable_x64(False):
         _merge_body(start_ref, old_hbm, ins_hbm, out_ref,
-                    oldv, insv, outv, sems)
+                    oldv, insv, outv, alignv, sems)
+
+
+def _seg_flat_prefix(x):
+    """Inclusive prefix sum over flattened order, SEGMENTED per sub-block
+    (every ROWS rows restart); masks are static."""
+    srows = x.shape[0]
+    tot = jnp.sum(x, axis=1, keepdims=True)  # row totals
+    sh = 1
+    while sh < LANE:  # lane prefix within rows
+        x = x + jnp.concatenate(
+            [jnp.zeros((srows, sh), x.dtype), x[:, : LANE - sh]], axis=1
+        )
+        sh <<= 1
+    row_in_block = jax.lax.broadcasted_iota(I32, (srows, 1), 0) % ROWS
+    sh = 1
+    csum = tot
+    while sh < ROWS:  # segmented row-total prefix
+        shifted = jnp.concatenate(
+            [jnp.zeros((sh, 1), x.dtype), csum[: srows - sh, :]], axis=0
+        )
+        csum = csum + jnp.where(row_in_block >= sh, shifted, 0)
+        sh <<= 1
+    return x + (csum - tot)
 
 
 def _merge_body(start_ref, old_hbm, ins_hbm, out_ref,
-                oldv, insv, outv, sems):
+                oldv, insv, outv, alignv, sems):
     cap_rows = old_hbm.shape[0] - PAD_ROWS
     nsb = cap_rows // SROWS  # super-blocks
 
@@ -129,36 +152,43 @@ def _merge_body(start_ref, old_hbm, ins_hbm, out_ref,
         )
         cp_old.start()
         cp_ins.start()
-        cp_ins.wait()
         cp_old.wait()
 
-        for j in range(SUPER):  # static unroll over sub-blocks
+        # stage 1: per-sub-block aligned old windows, stacked (SROWS, LANE)
+        max_ins = jnp.int32(0)
+        for j in range(SUPER):  # static unroll
             b = b0 + j
             s0 = start_ref[b]
-            n_ins = start_ref[b + 1] - s0
+            max_ins = jnp.maximum(max_ins, start_ref[b + 1] - s0)
             old_start = b * B - s0
             rowq_j = pl.multiple_of((old_start // (8 * LANE)) * 8, 8)
             off = pl.multiple_of(rowq_j - rowq_s, 8)  # rows into oldv
             rem = old_start - rowq_j * LANE  # < 1024
-
-            insmap = insv[j * ROWS : (j + 1) * ROWS, :].astype(I32)
-            is_ins = (insmap != 0).astype(I32)
-            cnt_le = _flat_prefix(is_ins)
-
             old32 = oldv[pl.ds(off, WROWS), :].astype(I32)
-            old_al = _flat_shift_left(old32, rem, 10)[:ROWS, :]
+            al = _flat_shift_left(old32, rem, 10)[:ROWS, :]
+            alignv[j * ROWS : (j + 1) * ROWS, :] = al.astype(jnp.int8)
 
-            def step(t, carry):
-                acc, v = carry
-                acc = jnp.where((cnt_le == t) & (is_ins == 0), v, acc)
-                return acc, _flat_shift_right1(v)
+        cp_ins.wait()
+        insmap = insv[...].astype(I32)
+        is_ins = (insmap != 0).astype(I32)
+        # sel: walk target per lane (-1 on insertion lanes, never matched)
+        sel = jnp.where(is_ins != 0, -1, _seg_flat_prefix(is_ins))
 
-            acc, _ = jax.lax.fori_loop(
-                0, n_ins + 1, step,
-                (jnp.full((ROWS, LANE), PAD, I32), old_al),
-            )
-            out = jnp.where(is_ins != 0, insmap - 1, acc)
-            outv[j * ROWS : (j + 1) * ROWS, :] = out.astype(jnp.int8)
+        # stage 2: ONE walk for all sub-blocks; iterations = max insertions
+        # over the SUPER sub-blocks, not their sum.  The flat shift leaks
+        # across sub-block boundaries, but leaked lanes p < t are never
+        # selected (sel[p] < t there).
+        def step(t, carry):
+            acc, v = carry
+            acc = jnp.where(sel == t, v, acc)
+            return acc, _flat_shift_right1(v)
+
+        acc, _ = jax.lax.fori_loop(
+            0, max_ins + 1, step,
+            (jnp.full((SROWS, LANE), PAD, I32), alignv[...].astype(I32)),
+        )
+        out = jnp.where(is_ins != 0, insmap - 1, acc)
+        outv[...] = out.astype(jnp.int8)
 
         cp_out = pltpu.make_async_copy(
             outv, out_ref.at[pl.ds(sb * SROWS, SROWS), :], sems.at[2]
@@ -184,8 +214,9 @@ def merge_pallas(bwt, pos, sym, stream, valid, *, K, interpret=False):
     assert cap % (SUPER * B) == 0 and cap < (1 << 31)
     assert K % LANE == 0
 
+    pdt = pos.dtype
     dest = pos + stream  # new-coordinate destinations, strictly increasing
-    trash = jnp.int64(cap + B)
+    trash = jnp.asarray(cap + B, pdt)
     dest_masked = jnp.where(valid, dest, trash)
 
     # insmap[d] = sym+1 at insertion destinations, else 0
@@ -197,11 +228,11 @@ def merge_pallas(bwt, pos, sym, stream, valid, *, K, interpret=False):
     # per-block insertion-count prefix: stream-ordered destinations are
     # sorted, so block bounds come from one searchsorted
     stream_idx = jnp.where(valid, stream, m + B)  # invalid -> OOB -> dropped
-    dest_s = jnp.full((m + B,), trash, jnp.int64)
+    dest_s = jnp.full((m + B,), trash, pdt)
     dest_s = dest_s.at[stream_idx].set(
         dest_masked, mode="drop", unique_indices=True
     )
-    bounds = jnp.arange(nb + 1, dtype=jnp.int64) * B
+    bounds = jnp.arange(nb + 1, dtype=pdt) * B
     start_ins = jnp.searchsorted(
         dest_s[:m], bounds, side="left"
     ).astype(I32)
@@ -220,6 +251,7 @@ def merge_pallas(bwt, pos, sym, stream, valid, *, K, interpret=False):
         out_shape=jax.ShapeDtypeStruct((cap_rows, LANE), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((SWROWS, LANE), jnp.int8),
+            pltpu.VMEM((SROWS, LANE), jnp.int8),
             pltpu.VMEM((SROWS, LANE), jnp.int8),
             pltpu.VMEM((SROWS, LANE), jnp.int8),
             pltpu.SemaphoreType.DMA((4,)),

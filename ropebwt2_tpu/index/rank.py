@@ -34,8 +34,9 @@ def build_block_tables(bwt, K: int):
 def rank_global(bwt, blk_prefix, pos, K: int):
     """Batched 6-symbol rank at global positions.
 
-    pos: int64[Q] with 0 <= pos <= n.  Returns int64[Q, 6] where
-    out[q, s] = |{ i < pos[q] : bwt[i] == s }|."""
+    pos: int[Q] with 0 <= pos <= n.  Returns out[q, s] = |{ i < pos[q] :
+    bwt[i] == s }| in blk_prefix's dtype (pass an int32 table for speed when
+    counts fit — int64 vector ops are an order of magnitude slower)."""
     blk = pos // K
     within = (pos % K).astype(jnp.int32)
     base = blk_prefix[blk]  # (Q, 6)
@@ -45,4 +46,4 @@ def rank_global(bwt, blk_prefix, pos, K: int):
     sym = jnp.arange(NSYM, dtype=bwt.dtype)
     eq = blkdata[:, :, None] == sym[None, None, :]  # (Q, K, 6)
     inc = (eq & inmask[:, :, None]).sum(axis=1, dtype=jnp.int32)
-    return base + inc.astype(jnp.int64)
+    return base + inc.astype(blk_prefix.dtype)

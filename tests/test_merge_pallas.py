@@ -11,7 +11,7 @@ from ropebwt2_tpu.index.rank import build_block_tables
 
 def test_merge_pallas_interpret_matches_reference(rng):
     for trial in range(8):
-        CAP, M, K = 65536, 64, 256
+        CAP, M, K = 131072, 64, 256
         n = int(rng.integers(0, CAP - M))
         bwt = np.full(CAP, 6, np.int8)
         bwt[:n] = rng.integers(0, 6, n)
@@ -39,7 +39,7 @@ def test_merge_pallas_interpret_matches_reference(rng):
 
 def test_merge_pallas_dense_insertions(rng):
     """Blocks packed with insertions (worst-case t-loop depth)."""
-    CAP, K = 65536, 256
+    CAP, K = 131072, 256
     M = 2048
     n = 1000
     bwt = np.full(CAP, 6, np.int8)

@@ -32,12 +32,12 @@ def test_pallas_merge_tail_block_no_insertions(rng):
     from ropebwt2_tpu.index.merge import apply_insertions
     from ropebwt2_tpu.index.merge_pallas import merge_pallas
 
-    CAP, M, K = 65536, 16, 256
-    n = 64000
+    CAP, M, K = 131072, 16, 256
+    n = 128000
     bwt = np.full(CAP, 6, np.int8)
     bwt[:n] = rng.integers(0, 6, n)
     pos = np.zeros(M, np.int64)
-    pos[0] = 40000
+    pos[0] = 90000
     sym = np.zeros(M, np.int32)
     sym[0] = 3
     stream = np.zeros(M, np.int64)
