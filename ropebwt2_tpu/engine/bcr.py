@@ -287,7 +287,7 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
         from ..index.merge_pallas import merge_pallas
 
         new_bwt, new_blk_prefix = merge_pallas(
-            state.bwt, gX, sym, stream, active, K=K
+            state.bwt, gX, sym, stream, active, n=state.n, K=K
         )
     else:
         new_bwt = apply_insertions(

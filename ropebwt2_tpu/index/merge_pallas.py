@@ -134,7 +134,8 @@ def _seg_flat_prefix(x):
 def _merge_body(start_ref, old_hbm, ins_hbm, out_ref,
                 oldv, insv, outv, alignv, sems):
     cap_rows = old_hbm.shape[0] - PAD_ROWS
-    nsb = cap_rows // SROWS  # super-blocks
+    nb_static = cap_rows // ROWS
+    nsb = start_ref[nb_static + 1]  # active super-blocks (dynamic)
 
     def super_body(sb, _):
         b0 = sb * SUPER
@@ -201,8 +202,13 @@ def _merge_body(start_ref, old_hbm, ins_hbm, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("K", "interpret"))
-def merge_pallas(bwt, pos, sym, stream, valid, *, K, interpret=False):
+def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
+                 interpret=False):
     """Apply one round's insertions; returns (new_bwt, blk_prefix).
+
+    ``n`` (current content size) bounds the work to the live prefix: blocks
+    past n + #insertions are left untouched (their garbage is never read —
+    queries stay below n and table prefixes only accumulate upward).
 
     bwt int8[CAP]; pos/stream int64[M] (old-coord insertion points + tie
     ranks); sym int32[M]; valid bool[M].  Requires CAP % B == 0,
@@ -236,6 +242,14 @@ def merge_pallas(bwt, pos, sym, stream, valid, *, K, interpret=False):
     start_ins = jnp.searchsorted(
         dest_s[:m], bounds, side="left"
     ).astype(I32)
+    if n is None:
+        nsb_active = jnp.asarray(cap // (SUPER * B), I32)
+    else:
+        total = n.astype(jnp.int64) + start_ins[-1].astype(jnp.int64)
+        nsb_active = jnp.minimum(
+            (total + SUPER * B - 1) // (SUPER * B), cap // (SUPER * B)
+        ).astype(I32)
+    start_ins = jnp.concatenate([start_ins, nsb_active[None]])
 
     old_padded = jnp.concatenate(
         [bwt, jnp.full((PAD_ROWS * LANE,), PAD, jnp.int8)]

@@ -30,10 +30,17 @@ def test_merge_pallas_interpret_matches_reference(rng):
             jnp.asarray(x) for x in (allpos, sym, stream, valid)
         ]
         ref = apply_insertions(jb, jnp.asarray(n), *jargs)
-        got, got_pref = merge_pallas(jb, *jargs, K=K, interpret=True)
-        assert np.array_equal(np.asarray(ref), np.asarray(got)), trial
+        got, got_pref = merge_pallas(
+            jb, *jargs, n=jnp.asarray(n), K=K, interpret=True
+        )
+        npref = np.asarray(ref)
+        ngot = np.asarray(got)
+        lim = n + A  # blocks past the live prefix are untouched
+        assert np.array_equal(npref[:lim], ngot[:lim]), trial
+        limk = (n + A) // K  # table rows in the live prefix
         assert np.array_equal(
-            np.asarray(build_block_tables(ref, K)), np.asarray(got_pref)
+            np.asarray(build_block_tables(ref, K))[: limk + 1],
+            np.asarray(got_pref)[: limk + 1],
         ), trial
 
 
