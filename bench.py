@@ -56,7 +56,7 @@ def inner():
     print(f"[bench] warmup/compile: {t_warm:.1f}s", file=sys.stderr)
     del eng  # free device buffers before timed runs
     t_best = eng = None
-    for _ in range(2):
+    for _ in range(3):
         if eng is not None:
             del eng
         t, eng = run()

@@ -101,11 +101,10 @@ def _flat_prefix(x):
     return x + prev_rows
 
 
-def _merge_kernel(start_ref, old_hbm, ins_hbm, out_ref,
-                  oldv, insv, outv, alignv, sems):
+def _merge_kernel(start_ref, old_hbm, ins_hbm, *refs, emit_counts):
     with jax.enable_x64(False):
-        _merge_body(start_ref, old_hbm, ins_hbm, out_ref,
-                    oldv, insv, outv, alignv, sems)
+        _merge_body(start_ref, old_hbm, ins_hbm, *refs,
+                    emit_counts=emit_counts)
 
 
 def _seg_flat_prefix(x):
@@ -131,8 +130,12 @@ def _seg_flat_prefix(x):
     return x + (csum - tot)
 
 
-def _merge_body(start_ref, old_hbm, ins_hbm, out_ref,
-                oldv, insv, outv, alignv, sems):
+def _merge_body(start_ref, old_hbm, ins_hbm, *refs, emit_counts):
+    if emit_counts:
+        (out_ref, cnt_ref, oldv, insv, outv, alignv, cntv, sems) = refs
+    else:
+        (out_ref, oldv, insv, outv, alignv, sems) = refs
+        cnt_ref = cntv = None
     cap_rows = old_hbm.shape[0] - PAD_ROWS
     nb_static = cap_rows // ROWS
     nsb = start_ref[nb_static + 1]  # active super-blocks (dynamic)
@@ -195,6 +198,28 @@ def _merge_body(start_ref, old_hbm, ins_hbm, out_ref,
             outv, out_ref.at[pl.ds(sb * SROWS, SROWS), :], sems.at[2]
         )
         cp_out.start()
+
+        if emit_counts:
+            # fused per-ROW (K=128) symbol counts: contract lanes on the
+            # MXU so counts land in the LANE dimension (DMA-able)
+            ones_row = jnp.ones((1, LANE), jnp.float32)
+            rows = []
+            for sidx in range(NSYM):
+                ind = (out == sidx).astype(jnp.float32)
+                rows.append(
+                    jax.lax.dot_general(
+                        ones_row, ind,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )  # (1, SROWS)
+            rows.append(jnp.zeros((2, SROWS), jnp.float32))  # pad sublanes
+            cntv[...] = jnp.concatenate(rows, axis=0).astype(I32)
+            cp_cnt = pltpu.make_async_copy(
+                cntv, cnt_ref.at[pl.ds(sb * 8, 8), :], sems.at[3]
+            )
+            cp_cnt.start()
+            cp_cnt.wait()
         cp_out.wait()
         return 0
 
@@ -254,26 +279,55 @@ def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
     old_padded = jnp.concatenate(
         [bwt, jnp.full((PAD_ROWS * LANE,), PAD, jnp.int8)]
     )
-    new_bwt = pl.pallas_call(
-        _merge_kernel,
+    nsb_total = cap_rows // SROWS
+    emit_counts = K == LANE
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    out_shape = [jax.ShapeDtypeStruct((cap_rows, LANE), jnp.int8)]
+    scratch = [
+        pltpu.VMEM((SWROWS, LANE), jnp.int8),
+        pltpu.VMEM((SROWS, LANE), jnp.int8),
+        pltpu.VMEM((SROWS, LANE), jnp.int8),
+        pltpu.VMEM((SROWS, LANE), jnp.int8),
+    ]
+    if emit_counts:
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((nsb_total * 8, SROWS), I32)
+        )
+        scratch.append(pltpu.VMEM((8, SROWS), I32))
+    scratch.append(pltpu.SemaphoreType.DMA((4,)))
+    outs = pl.pallas_call(
+        functools.partial(_merge_kernel, emit_counts=emit_counts),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # start_ins
             pl.BlockSpec(memory_space=pl.ANY),  # old bwt (rows, 128)
             pl.BlockSpec(memory_space=pl.ANY),  # insmap (rows, 128)
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((cap_rows, LANE), jnp.int8),
-        scratch_shapes=[
-            pltpu.VMEM((SWROWS, LANE), jnp.int8),
-            pltpu.VMEM((SROWS, LANE), jnp.int8),
-            pltpu.VMEM((SROWS, LANE), jnp.int8),
-            pltpu.VMEM((SROWS, LANE), jnp.int8),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        out_specs=out_specs if emit_counts else out_specs[0],
+        out_shape=out_shape if emit_counts else out_shape[0],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(start_ins, old_padded.reshape(cap_rows + PAD_ROWS, LANE),
-      insmap.reshape(cap_rows, LANE)).reshape(cap)
+      insmap.reshape(cap_rows, LANE))
+    if emit_counts:
+        new_bwt, cnt_out = outs
+    else:
+        new_bwt = outs
+    new_bwt = new_bwt.reshape(cap)
+
+    if emit_counts:
+        # counts fused in the kernel: (nsb, 8, SROWS) -> (cap_rows, 6)
+        rows6 = jnp.transpose(
+            cnt_out.reshape(nsb_total, 8, SROWS)[:, :NSYM, :], (0, 2, 1)
+        ).reshape(cap_rows, NSYM)
+        blk_prefix = jnp.concatenate(
+            [
+                jnp.zeros((1, NSYM), jnp.int64),
+                cumsum_blocked(rows6.astype(jnp.int64)),
+            ]
+        )
+        return new_bwt, blk_prefix
 
     from .rank import build_block_tables
 
