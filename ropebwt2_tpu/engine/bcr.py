@@ -42,7 +42,7 @@ from ..index.rank import build_block_tables, rank_global
 from ..index.scan import cumsum_blocked, cumsum_small
 
 
-def _use_pallas_merge(cap: int) -> bool:
+def _use_pallas_merge(cap: int, K: int) -> bool:
     """The Pallas merge kernel runs on real TPUs for capacities it supports;
     CPU (tests, virtual meshes) uses the jnp reference formulation."""
     from ..index import merge_pallas as mp
@@ -53,6 +53,7 @@ def _use_pallas_merge(cap: int) -> bool:
         jax.default_backend() == "tpu"
         and cap % (mp.SUPER * mp.B) == 0
         and cap < (1 << 31)
+        and K % mp.LANE == 0
     )
 
 I64 = jnp.int64
@@ -146,7 +147,6 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
         | (u != prev_u)
         | (inert != prev_inert)
     )
-    gid = cumsum_blocked(head.astype(I32)) - 1
     headidx = jax.lax.cummax(jnp.where(head, arange_m, 0))
     bucket_head = (arange_m == 0) | (c != prev_c) | (inert != prev_inert)
     bktheadidx = jax.lax.cummax(jnp.where(bucket_head, arange_m, 0))
@@ -283,7 +283,7 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
     )
 
     # ---- merge (+ fused rank-table rebuild on the Pallas path) ----
-    if _use_pallas_merge(state.bwt.shape[0]):
+    if _use_pallas_merge(state.bwt.shape[0], K):
         from ..index.merge_pallas import merge_pallas
 
         new_bwt, new_blk_prefix = merge_pallas(

@@ -23,13 +23,14 @@ dictates the shape of this kernel (probed empirically):
 * python-int literals under jax x64 weak-promote to int64 (no 64-bit in
   Mosaic) -> the kernel body is traced under jax.enable_x64(False).
 
-Per output block b (B symbols = 32 rows): the old-buffer window starts at
-old_start = b*B - start_ins[b] symbols; DMA the 8-row-aligned superset
-(WROWS=48 rows), flat-shift left by the remainder, then expand: non-insert
-position p takes old[p - cnt_le[p]] (cnt_le = prefix of insertion mask),
-selected by walking t upward while flat-shifting the window one symbol per
-step — the walk's trip count is the block's insertion count (few on
-average).
+Per SUPER-block (SUPER output blocks of B symbols, one DMA round-trip):
+each sub-block's old window starts at old_start = b*B - start_ins[b]; the
+8-row-aligned superset (WROWS rows) is sliced from the super window and
+flat-shifted by the sub-row remainder.  The expansion — non-insert position
+p takes old[p - cnt_le[p]] (cnt_le = segmented prefix of the insertion
+mask) — runs as ONE walk over all stacked sub-blocks, with trip count
+max(insertions per sub-block).  Work is bounded to the live prefix
+(n + #insertions).
 """
 
 import functools
@@ -48,7 +49,7 @@ LANE = 128
 ROWS = B // LANE  # 32 rows per output block
 WROWS = 40  # old-window rows per block: 32 + 8 (sub-window alignment slack)
 SUPER = 32  # output blocks fetched/stored per DMA round-trip
-SROWS = SUPER * ROWS  # 256
+SROWS = SUPER * ROWS  # 1024 rows = 131072 symbols per DMA round-trip
 SWROWS = SROWS + 16  # super window: SUPER blocks + alignment + edge slack
 PAD_ROWS = 16  # input padded by this much so windows never clamp
 I32 = jnp.int32
@@ -75,30 +76,6 @@ def _flat_shift_right1(v):
     """Position p takes p-1 (garbage enters at position 0)."""
     prv = jnp.concatenate([v[:1, :], v[:-1, :]], axis=0)  # row r-1
     return jnp.concatenate([prv[:, LANE - 1 :], v[:, : LANE - 1]], axis=1)
-
-
-def _flat_prefix(x):
-    """Inclusive prefix sum over flattened (ROWS, 128) order."""
-    # row totals via reduction (an offset-127 slice would feed an axis-0
-    # concat with mismatched lane offsets, which Mosaic rejects)
-    tot = jnp.sum(x, axis=1, keepdims=True)  # (ROWS, 1)
-    # within-row prefix along lanes
-    sh = 1
-    while sh < LANE:
-        x = x + jnp.concatenate(
-            [jnp.zeros((ROWS, sh), x.dtype), x[:, : LANE - sh]], axis=1
-        )
-        sh <<= 1
-    # inclusive prefix of row totals, shifted to exclusive
-    sh = 1
-    csum = tot
-    while sh < ROWS:
-        csum = csum + jnp.concatenate(
-            [jnp.zeros((sh, 1), x.dtype), csum[: ROWS - sh, :]], axis=0
-        )
-        sh <<= 1
-    prev_rows = csum - tot  # exclusive row-total prefix
-    return x + prev_rows
 
 
 def _merge_kernel(start_ref, old_hbm, ins_hbm, *refs, emit_counts):
@@ -235,9 +212,9 @@ def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
     past n + #insertions are left untouched (their garbage is never read —
     queries stay below n and table prefixes only accumulate upward).
 
-    bwt int8[CAP]; pos/stream int64[M] (old-coord insertion points + tie
-    ranks); sym int32[M]; valid bool[M].  Requires CAP % B == 0,
-    CAP >= 2*B, CAP < 2^31, and K % LANE == 0."""
+    bwt int8[CAP]; pos/stream int[M] (old-coord insertion points + tie
+    ranks, int32 or int64); sym int32[M]; valid bool[M].  Requires
+    CAP % (SUPER*B) == 0 (multiples of 131072), CAP < 2^31, K % LANE == 0."""
     cap = bwt.shape[0]
     m = pos.shape[0]
     nb = cap // B

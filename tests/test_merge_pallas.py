@@ -44,6 +44,37 @@ def test_merge_pallas_interpret_matches_reference(rng):
         ), trial
 
 
+def test_merge_pallas_k128_fused_counts_and_multi_superblock(rng):
+    """The K==128 fused-counts emission, multi-super-block offsets (sb>0),
+    and int32 position dtypes — the exact configuration the engine feeds on
+    TPU for small capacities."""
+    import jax.numpy as jnp
+
+    for K, CAP in ((128, 262144), (256, 262144)):
+        M = 256
+        n = CAP - M - 7
+        bwt = np.full(CAP, 6, np.int8)
+        bwt[:n] = rng.integers(0, 6, n)
+        A = M
+        pos = np.sort(rng.integers(0, n + 1, A)).astype(np.int32)
+        sym = rng.integers(0, 6, A).astype(np.int32)
+        stream = np.arange(A, dtype=np.int32)
+        valid = np.ones(A, bool)
+        jb = jnp.asarray(bwt)
+        jargs = [jnp.asarray(x) for x in (pos, sym, stream, valid)]
+        ref = apply_insertions(jb, jnp.asarray(n), *jargs)
+        got, pref = merge_pallas(
+            jb, *jargs, n=jnp.asarray(n, jnp.int32), K=K, interpret=True
+        )
+        lim = n + A
+        assert np.array_equal(np.asarray(ref)[:lim], np.asarray(got)[:lim])
+        limk = lim // K
+        assert np.array_equal(
+            np.asarray(build_block_tables(ref, K))[: limk + 1],
+            np.asarray(pref)[: limk + 1],
+        ), K
+
+
 def test_merge_pallas_dense_insertions(rng):
     """Blocks packed with insertions (worst-case t-loop depth)."""
     CAP, K = 131072, 256
