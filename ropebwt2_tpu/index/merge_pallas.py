@@ -110,21 +110,170 @@ def _seg_flat_prefix(x):
 def _merge_body(start_ref, old_hbm, ins_hbm, *refs, emit_counts):
     if emit_counts:
         (out_ref, cnt_ref, oldv, insv, outv, alignv, cntv, sems) = refs
+        _merge_body_serial(start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
+                           oldv, insv, outv, alignv, cntv, sems)
     else:
-        (out_ref, oldv, insv, outv, alignv, sems) = refs
-        cnt_ref = cntv = None
+        (out_ref, oldA, oldB, insA, insB, outA, outB, alignv, sems) = refs
+        _merge_body_pipelined(start_ref, old_hbm, ins_hbm, out_ref,
+                              oldA, oldB, insA, insB, outA, outB,
+                              alignv, sems)
+
+
+def _window_scalars(start_ref, sb):
+    """(rowq_s, b0) for super-block sb."""
+    b0 = sb * SUPER
+    old_start_first = b0 * B - start_ref[b0]
+    rowq_s = pl.multiple_of((old_start_first // (8 * LANE)) * 8, 8)
+    return rowq_s, b0
+
+
+def _stage1_align(start_ref, oldv, alignv, rowq_s, b0):
+    """Per-sub-block aligned old windows stacked into alignv; returns the
+    max insertion count across the SUPER sub-blocks."""
+    max_ins = jnp.int32(0)
+    for j in range(SUPER):  # static unroll
+        b = b0 + j
+        s0 = start_ref[b]
+        max_ins = jnp.maximum(max_ins, start_ref[b + 1] - s0)
+        old_start = b * B - s0
+        rowq_j = pl.multiple_of((old_start // (8 * LANE)) * 8, 8)
+        off = pl.multiple_of(rowq_j - rowq_s, 8)
+        rem = old_start - rowq_j * LANE  # < 1024
+        old32 = oldv[pl.ds(off, WROWS), :].astype(I32)
+        al = _flat_shift_left(old32, rem, 10)[:ROWS, :]
+        alignv[j * ROWS : (j + 1) * ROWS, :] = al.astype(jnp.int8)
+    return max_ins
+
+
+def _expand(insmap, alignv, max_ins):
+    is_ins = (insmap != 0).astype(I32)
+    sel = jnp.where(is_ins != 0, -1, _seg_flat_prefix(is_ins))
+
+    def step(t, carry):
+        acc, v = carry
+        acc = jnp.where(sel == t, v, acc)
+        return acc, _flat_shift_right1(v)
+
+    acc, _ = jax.lax.fori_loop(
+        0, max_ins + 1, step,
+        (jnp.full((SROWS, LANE), PAD, I32), alignv[...].astype(I32)),
+    )
+    return jnp.where(is_ins != 0, insmap - 1, acc)
+
+
+def _merge_body_pipelined(start_ref, old_hbm, ins_hbm, out_ref,
+                          oldA, oldB, insA, insB, outA, outB,
+                          alignv, sems):
+    """Double-buffered: super-block sb+1's input DMAs overlap sb's compute;
+    output DMAs drain one super-block behind.  Slot = sb parity; semaphores
+    0/1 = old A/B, 2/3 = ins A/B, 4/5 = out A/B."""
+    cap_rows = old_hbm.shape[0] - PAD_ROWS
+    nb_static = cap_rows // ROWS
+    nsb = start_ref[nb_static + 1]  # active super-blocks (dynamic)
+
+    def in_copies(sb, slot):
+        rowq_s, _ = _window_scalars(start_ref, sb)
+        oldv, insv = (oldA, insA) if slot == 0 else (oldB, insB)
+        cp_old = pltpu.make_async_copy(
+            old_hbm.at[pl.ds(rowq_s, SWROWS), :], oldv, sems.at[slot]
+        )
+        cp_ins = pltpu.make_async_copy(
+            ins_hbm.at[pl.ds(sb * SROWS, SROWS), :], insv, sems.at[2 + slot]
+        )
+        return cp_old, cp_ins
+
+    def out_copy(sb, slot):
+        outv = outA if slot == 0 else outB
+        return pltpu.make_async_copy(
+            outv, out_ref.at[pl.ds(sb * SROWS, SROWS), :], sems.at[4 + slot]
+        )
+
+    def start_in(sb):
+        for slot in (0, 1):
+            @pl.when((sb % 2) == slot)
+            def _():
+                a, b = in_copies(sb, slot)
+                a.start()
+                b.start()
+
+    @pl.when(nsb > 0)
+    def _():
+        start_in(0)
+
+    def super_body(sb, _):
+        rowq_s, b0 = _window_scalars(start_ref, sb)
+        for slot in (0, 1):
+            is_slot = (sb % 2) == slot
+            oldv, insv = (oldA, insA) if slot == 0 else (oldB, insB)
+            outv = outA if slot == 0 else outB
+
+            @pl.when(is_slot)
+            def _():
+                a, b = in_copies(sb, slot)
+                a.wait()
+                b.wait()
+
+        @pl.when(sb + 1 < nsb)
+        def _():
+            start_in(sb + 1)
+
+        slot0 = (sb % 2) == 0
+
+        # stage 1 under parity (ref reads need a concrete scratch)
+        max0 = jnp.int32(0)
+        for slot in (0, 1):
+            oldv = oldA if slot == 0 else oldB
+
+            # compute max_ins (pure scalars) once; align writes per slot
+            @pl.when((sb % 2) == slot)
+            def _():
+                _stage1_align(start_ref, oldv, alignv, rowq_s, b0)
+
+        max_ins = jnp.int32(0)
+        for j in range(SUPER):
+            max_ins = jnp.maximum(
+                max_ins, start_ref[b0 + j + 1] - start_ref[b0 + j]
+            )
+
+        insmap = jnp.where(
+            jnp.full((1, 1), slot0), insA[...], insB[...]
+        ).astype(I32)
+        out = _expand(insmap, alignv, max_ins)
+
+        for slot in (0, 1):
+            outv = outA if slot == 0 else outB
+
+            @pl.when(((sb % 2) == slot) & (sb >= 2))
+            def _():
+                out_copy(sb - 2, slot).wait()  # free the slot
+
+            @pl.when((sb % 2) == slot)
+            def _():
+                outv[...] = out.astype(jnp.int8)
+                out_copy(sb, slot).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, nsb, super_body, 0)
+
+    for back in (2, 1):  # drain the last (up to two) output DMAs
+        @pl.when(nsb >= back)
+        def _():
+            sb = nsb - back
+            for slot in (0, 1):
+                @pl.when((sb % 2) == slot)
+                def _():
+                    out_copy(sb, slot).wait()
+
+
+def _merge_body_serial(start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
+                       oldv, insv, outv, alignv, cntv, sems):
     cap_rows = old_hbm.shape[0] - PAD_ROWS
     nb_static = cap_rows // ROWS
     nsb = start_ref[nb_static + 1]  # active super-blocks (dynamic)
 
     def super_body(sb, _):
-        b0 = sb * SUPER
-        s0_first = start_ref[b0]
-        old_start_first = b0 * B - s0_first  # in [0, cap - SUPER*B]
-        rowq_s = pl.multiple_of(
-            (old_start_first // (8 * LANE)) * 8, 8
-        )
-
+        rowq_s, b0 = _window_scalars(start_ref, sb)
         cp_old = pltpu.make_async_copy(
             old_hbm.at[pl.ds(rowq_s, SWROWS), :], oldv, sems.at[0]
         )
@@ -134,69 +283,35 @@ def _merge_body(start_ref, old_hbm, ins_hbm, *refs, emit_counts):
         cp_old.start()
         cp_ins.start()
         cp_old.wait()
-
-        # stage 1: per-sub-block aligned old windows, stacked (SROWS, LANE)
-        max_ins = jnp.int32(0)
-        for j in range(SUPER):  # static unroll
-            b = b0 + j
-            s0 = start_ref[b]
-            max_ins = jnp.maximum(max_ins, start_ref[b + 1] - s0)
-            old_start = b * B - s0
-            rowq_j = pl.multiple_of((old_start // (8 * LANE)) * 8, 8)
-            off = pl.multiple_of(rowq_j - rowq_s, 8)  # rows into oldv
-            rem = old_start - rowq_j * LANE  # < 1024
-            old32 = oldv[pl.ds(off, WROWS), :].astype(I32)
-            al = _flat_shift_left(old32, rem, 10)[:ROWS, :]
-            alignv[j * ROWS : (j + 1) * ROWS, :] = al.astype(jnp.int8)
-
+        max_ins = _stage1_align(start_ref, oldv, alignv, rowq_s, b0)
         cp_ins.wait()
-        insmap = insv[...].astype(I32)
-        is_ins = (insmap != 0).astype(I32)
-        # sel: walk target per lane (-1 on insertion lanes, never matched)
-        sel = jnp.where(is_ins != 0, -1, _seg_flat_prefix(is_ins))
-
-        # stage 2: ONE walk for all sub-blocks; iterations = max insertions
-        # over the SUPER sub-blocks, not their sum.  The flat shift leaks
-        # across sub-block boundaries, but leaked lanes p < t are never
-        # selected (sel[p] < t there).
-        def step(t, carry):
-            acc, v = carry
-            acc = jnp.where(sel == t, v, acc)
-            return acc, _flat_shift_right1(v)
-
-        acc, _ = jax.lax.fori_loop(
-            0, max_ins + 1, step,
-            (jnp.full((SROWS, LANE), PAD, I32), alignv[...].astype(I32)),
-        )
-        out = jnp.where(is_ins != 0, insmap - 1, acc)
+        out = _expand(insv[...].astype(I32), alignv, max_ins)
         outv[...] = out.astype(jnp.int8)
-
         cp_out = pltpu.make_async_copy(
             outv, out_ref.at[pl.ds(sb * SROWS, SROWS), :], sems.at[2]
         )
         cp_out.start()
 
-        if emit_counts:
-            # fused per-ROW (K=128) symbol counts: contract lanes on the
-            # MXU so counts land in the LANE dimension (DMA-able)
-            ones_row = jnp.ones((1, LANE), jnp.float32)
-            rows = []
-            for sidx in range(NSYM):
-                ind = (out == sidx).astype(jnp.float32)
-                rows.append(
-                    jax.lax.dot_general(
-                        ones_row, ind,
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                )  # (1, SROWS)
-            rows.append(jnp.zeros((2, SROWS), jnp.float32))  # pad sublanes
-            cntv[...] = jnp.concatenate(rows, axis=0).astype(I32)
-            cp_cnt = pltpu.make_async_copy(
-                cntv, cnt_ref.at[pl.ds(sb * 8, 8), :], sems.at[3]
-            )
-            cp_cnt.start()
-            cp_cnt.wait()
+        # fused per-ROW (K=128) symbol counts: contract lanes on the
+        # MXU so counts land in the LANE dimension (DMA-able)
+        ones_row = jnp.ones((1, LANE), jnp.float32)
+        rows = []
+        for sidx in range(NSYM):
+            ind = (out == sidx).astype(jnp.float32)
+            rows.append(
+                jax.lax.dot_general(
+                    ones_row, ind,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # (1, SROWS)
+        rows.append(jnp.zeros((2, SROWS), jnp.float32))  # pad sublanes
+        cntv[...] = jnp.concatenate(rows, axis=0).astype(I32)
+        cp_cnt = pltpu.make_async_copy(
+            cntv, cnt_ref.at[pl.ds(sb * 8, 8), :], sems.at[3]
+        )
+        cp_cnt.start()
+        cp_cnt.wait()
         cp_out.wait()
         return 0
 
@@ -260,19 +375,29 @@ def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
     emit_counts = K == LANE
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     out_shape = [jax.ShapeDtypeStruct((cap_rows, LANE), jnp.int8)]
-    scratch = [
-        pltpu.VMEM((SWROWS, LANE), jnp.int8),
-        pltpu.VMEM((SROWS, LANE), jnp.int8),
-        pltpu.VMEM((SROWS, LANE), jnp.int8),
-        pltpu.VMEM((SROWS, LANE), jnp.int8),
-    ]
-    if emit_counts:
+    if emit_counts:  # serial body: oldv, insv, outv, alignv, cntv
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         out_shape.append(
             jax.ShapeDtypeStruct((nsb_total * 8, SROWS), I32)
         )
-        scratch.append(pltpu.VMEM((8, SROWS), I32))
-    scratch.append(pltpu.SemaphoreType.DMA((4,)))
+        scratch = [
+            pltpu.VMEM((SWROWS, LANE), jnp.int8),
+            pltpu.VMEM((SROWS, LANE), jnp.int8),
+            pltpu.VMEM((SROWS, LANE), jnp.int8),
+            pltpu.VMEM((SROWS, LANE), jnp.int8),
+            pltpu.VMEM((8, SROWS), I32),
+        ]
+    else:  # pipelined body: oldA/B, insA/B, outA/B, alignv
+        scratch = [
+            pltpu.VMEM((SWROWS, LANE), jnp.int8),
+            pltpu.VMEM((SWROWS, LANE), jnp.int8),
+            pltpu.VMEM((SROWS, LANE), jnp.int8),
+            pltpu.VMEM((SROWS, LANE), jnp.int8),
+            pltpu.VMEM((SROWS, LANE), jnp.int8),
+            pltpu.VMEM((SROWS, LANE), jnp.int8),
+            pltpu.VMEM((SROWS, LANE), jnp.int8),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((6,)))
     outs = pl.pallas_call(
         functools.partial(_merge_kernel, emit_counts=emit_counts),
         in_specs=[
