@@ -12,8 +12,10 @@ NSYM = 6
 SYM_CHARS = "$ACGTN"
 
 # ASCII -> nt6 code. Everything unknown maps to N=5; only ACGTacgt map to 1..4.
-# Bytes >= 128 also map to 5 (main.c:191).
+# Bytes >= 128 also map to 5 (main.c:191); byte 0 maps to 0 like
+# seq_nt6_table[0] (main.c:17).
 NT6_TABLE = np.full(256, 5, dtype=np.uint8)
+NT6_TABLE[0] = 0
 for _ch, _code in (("A", 1), ("C", 2), ("G", 3), ("T", 4)):
     NT6_TABLE[ord(_ch)] = _code
     NT6_TABLE[ord(_ch.lower())] = _code

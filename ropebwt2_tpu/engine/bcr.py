@@ -273,17 +273,15 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
 def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so):
     """One BCR round: insert the d-th (from read end) symbol of every active
     read. Returns (new_state, new_reads, n_inserted)."""
-    pdt = reads.l.dtype
-    blk_tbl = state.blk_prefix.astype(pdt)  # int64 gathers are very slow
     rank_fn = lambda gpos: rank_global(  # noqa: E731
-        state.bwt, blk_tbl, gpos, K
+        state.bwt, state.blk_prefix, gpos, K
     )
     new_reads, gX, sym, stream, active, ins_bucket, n_ins = plan_round(
         state.psize, state.pcounts, reads, buf, d, is_first, rank_fn, so=so
     )
 
     # ---- merge (+ fused rank-table rebuild on the Pallas path) ----
-    if _use_pallas_merge(state.bwt.shape[0], K):
+    if _use_pallas_merge(state.cap, K):
         from ..index.merge_pallas import merge_pallas
 
         new_bwt, new_blk_prefix = merge_pallas(
@@ -293,7 +291,9 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
         new_bwt = apply_insertions(
             state.bwt, state.n, gX, sym, stream, active
         )
-        new_blk_prefix = build_block_tables(new_bwt, K)
+        new_blk_prefix = build_block_tables(
+            new_bwt, K, dtype=state.blk_prefix.dtype
+        )
 
     new_state = FlatBwt(
         bwt=new_bwt,

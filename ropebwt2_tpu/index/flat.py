@@ -8,13 +8,20 @@ mrope.h:10-14: partition b = B[C(b)..C(b+1))).  Alongside it:
 * ``psize``    int64[6]    current partition sizes (offsets = exclusive cumsum)
 * ``pcounts``  int64[6,6]  per-partition per-symbol counts (the reference's
                            rope->c[6] for each rope)
-* ``blk_prefix`` int64[NB+1,6]  per-symbol counts at every K-symbol block
+* ``blk_prefix`` int[NB+1,6] per-symbol counts at every K-symbol block
                            boundary of the flat buffer — the rank index
                            (device-resident analogue of rld0's frame index,
-                           rld0.c:163-205)
+                           rld0.c:163-205).  int32 while cap < 2^31 (int64
+                           vector gathers/math are ~10x slower on TPU),
+                           int64 beyond.
 * ``n``        int64       total symbols
 
-Unused capacity is filled with the PAD symbol 6 so block tables stay exact.
+The device buffer is allocated with PAD_TAIL extra symbols of permanent tail
+slack so the Pallas merge kernel's aligned window DMAs can read past the
+logical capacity without a per-round copy; ``cap`` is the logical capacity
+(allocation minus slack).  Content beyond ``n`` is unspecified on the TPU
+path (PAD-filled on the jnp path) and must never be read: every consumer
+bounds reads to pos <= n, and block-table prefixes only accumulate upward.
 """
 
 import dataclasses
@@ -25,32 +32,42 @@ import numpy as np
 
 from ..alphabet import NSYM
 
-PAD = 6  # fill value for bwt[n:CAP]; outside the 6-symbol alphabet
+PAD = 6  # fill value for fresh capacity; outside the 6-symbol alphabet
+PAD_TAIL = 2048  # tail slack symbols (= merge_pallas PAD_ROWS * LANE)
+
+
+def table_dtype(cap: int):
+    """blk_prefix dtype rule: int32 while every count fits."""
+    return jnp.int32 if cap < (1 << 31) else jnp.int64
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class FlatBwt:
-    bwt: jax.Array  # int8[CAP]
+    bwt: jax.Array  # int8[CAP + PAD_TAIL]
     n: jax.Array  # int64 scalar
     psize: jax.Array  # int64[6]
     pcounts: jax.Array  # int64[6,6]
-    blk_prefix: jax.Array  # int64[NB+1, 6]
+    blk_prefix: jax.Array  # int[NB_alloc+1, 6] (int32 while cap < 2^31)
 
     @property
     def cap(self) -> int:
-        return self.bwt.shape[0]
+        return self.bwt.shape[0] - PAD_TAIL
 
 
 def empty_state(cap: int, K: int) -> FlatBwt:
-    assert cap % K == 0
-    nb = cap // K
+    from .rank import build_block_tables
+
+    assert cap % K == 0 and PAD_TAIL % K == 0
+    bwt = jnp.full((cap + PAD_TAIL,), PAD, dtype=jnp.int8)
     return FlatBwt(
-        bwt=jnp.full((cap,), PAD, dtype=jnp.int8),
+        bwt=bwt,
         n=jnp.zeros((), dtype=jnp.int64),
         psize=jnp.zeros((NSYM,), dtype=jnp.int64),
         pcounts=jnp.zeros((NSYM, NSYM), dtype=jnp.int64),
-        blk_prefix=jnp.zeros((nb + 1, NSYM), dtype=jnp.int64),
+        blk_prefix=jnp.zeros(
+            ((cap + PAD_TAIL) // K + 1, NSYM), dtype=table_dtype(cap)
+        ),
     )
 
 
@@ -62,14 +79,19 @@ def grow_state(state: FlatBwt, new_cap: int, K: int) -> FlatBwt:
     if new_cap == state.cap:
         return state
     bwt = jnp.concatenate(
-        [state.bwt, jnp.full((new_cap - state.cap,), PAD, dtype=jnp.int8)]
+        [
+            state.bwt[: state.cap],
+            jnp.full(
+                (new_cap + PAD_TAIL - state.cap,), PAD, dtype=jnp.int8
+            ),
+        ]
     )
     return FlatBwt(
         bwt=bwt,
         n=state.n,
         psize=state.psize,
         pcounts=state.pcounts,
-        blk_prefix=build_block_tables(bwt, K),
+        blk_prefix=build_block_tables(bwt, K, dtype=table_dtype(new_cap)),
     )
 
 
@@ -97,7 +119,7 @@ def state_from_partition_runs(partition_runs, K: int, cap: int = None):
     if cap is None:
         cap = max(K, -(-n // K) * K)
     assert cap % K == 0 and cap >= n
-    buf = np.full(cap, PAD, dtype=np.int8)
+    buf = np.full(cap + PAD_TAIL, PAD, dtype=np.int8)
     buf[:n] = flat
     bwt = jnp.asarray(buf)
     return FlatBwt(
@@ -105,5 +127,5 @@ def state_from_partition_runs(partition_runs, K: int, cap: int = None):
         n=jnp.asarray(n, dtype=jnp.int64),
         psize=jnp.asarray(psize),
         pcounts=jnp.asarray(pcounts),
-        blk_prefix=build_block_tables(bwt, K),
+        blk_prefix=build_block_tables(bwt, K, dtype=table_dtype(cap)),
     )

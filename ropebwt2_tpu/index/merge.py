@@ -21,7 +21,9 @@ from .scan import cumsum_blocked
 def apply_insertions(bwt, n, pos, sym, stream, valid):
     """Return the new flat buffer with all valid insertions applied.
 
-    bwt:    int8[CAP], content in [0, n), PAD beyond.
+    bwt:    int8[CAP], content in [0, n); beyond n the content is
+            UNSPECIFIED (PAD on this path, garbage after a Pallas merge
+            round) and must never be consumed.
     pos:    int64[M] old-coordinate global insertion points (<= n), any order.
     sym:    int32[M] inserted symbols.
     stream: int64[M] global tie ranks (each in [0, A)), unique over valid.
@@ -41,7 +43,8 @@ def apply_insertions(bwt, n, pos, sym, stream, valid):
     idx = jnp.arange(cap, dtype=pdt)
     dest_old = idx + shift  # old element j -> j + shift[j]
     new = jnp.full((cap,), PAD, dtype=bwt.dtype)
-    # elements at j >= n are PAD and land at j + A >= n + A: harmless.
+    # elements at j >= n (unspecified content) land at j + A >= n + A,
+    # beyond the new live prefix: harmless, consumers never read there.
     new = new.at[dest_old].set(bwt, mode="drop")
     ins_dest = jnp.where(valid, pos + stream, trash)
     new = new.at[ins_dest].set(sym.astype(bwt.dtype), mode="drop")

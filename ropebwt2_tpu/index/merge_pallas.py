@@ -1,36 +1,55 @@
 """Pallas TPU kernel for the BCR merge pass (gridless formulation).
 
-One pallas_call applies a whole round's insertions and rebuilds the
-per-block rank counts.  The insertion pattern is precomputed OUTSIDE as one
-CAP-sized int8 ``insmap`` (0 = no insertion at this output position,
-s+1 = insert symbol s) via an M-sized scatter (cheap in XLA — it is the
-CAP-sized element scatter this kernel replaces), plus a per-block
+One pallas_call applies a whole round's insertions and emits per-row
+(128-symbol) rank counts, from which the K-block rank prefix is built
+outside with one small int32 cumsum.  The insertion pattern is precomputed
+OUTSIDE as one CAP-sized int8 ``insmap`` (0 = no insertion at this output
+position, s+1 = insert symbol s) via an M-sized scatter, plus a per-block
 insertion-count prefix ``start_ins`` (searchsorted, SMEM-resident).
+
+The input buffer must carry PAD_ROWS rows of permanent tail slack
+(FlatBwt allocates it, index/flat.py): aligned window DMAs read up to
+PAD_ROWS rows past the logical capacity.  The output buffer carries the
+same slack; rows past the live prefix are left UNINITIALIZED — consumers
+never read beyond n (see flat.py).
 
 The attached toolchain rejects several standard Pallas constructs, which
 dictates the shape of this kernel (probed empirically):
 
 * grid + index_map pipelines do not legalize -> single invocation with an
-  in-kernel fori_loop over output blocks and manual DMAs;
+  in-kernel fori_loop over output super-blocks and manual DMAs;
 * int8 vectors only support load/widen/narrow/store (no compares) -> all
   compute in int32;
 * arrays with a unit sublane dim and unaligned slices are rejected ->
   everything lives in (rows, 128) layout, DMA row starts/sizes are
-  multiples of 8 rows, and the sub-row misalignment is corrected in-VMEM
-  with uniform conditional static shifts;
+  multiples of 8 rows;
 * reduce-to-scalar inside the kernel emits 64-bit ops -> per-block
   insertion counts come from the SMEM prefix instead;
 * python-int literals under jax x64 weak-promote to int64 (no 64-bit in
   Mosaic) -> the kernel body is traced under jax.enable_x64(False).
 
-Per SUPER-block (SUPER output blocks of B symbols, one DMA round-trip):
-each sub-block's old window starts at old_start = b*B - start_ins[b]; the
-8-row-aligned superset (WROWS rows) is sliced from the super window and
-flat-shifted by the sub-row remainder.  The expansion — non-insert position
-p takes old[p - cnt_le[p]] (cnt_le = segmented prefix of the insertion
-mask) — runs as ONE walk over all stacked sub-blocks, with trip count
-max(insertions per sub-block).  Work is bounded to the live prefix
-(n + #insertions).
+Algorithm per SUPER-block (SUPER output blocks of B symbols, one DMA
+round-trip), all arrays in flattened (rows, 128) order:
+
+1. stack the 32 sub-blocks' 8-row-aligned old windows (WROWS rows each)
+   into one scratch, then fix each window's sub-row misalignment with ONE
+   batched conditional-shift pass (10 static shifts selected per-window by
+   a per-row remainder vector) — instead of 32 independent shift chains.
+2. expand: non-insert output position p takes old[p - c(p)] where c is the
+   per-block inclusive prefix of the insertion mask.  Because c is
+   non-decreasing with slope <= 1, the variable-distance gather decomposes
+   into log2(B) = 12 static conditional shifts processing the bits of c
+   from high to low (each position takes the shifted value iff its own
+   c-bit is set and the source stays inside its block).  This replaces the
+   O(max insertions per block) walk of the previous design and makes
+   dense rounds no slower than sparse ones.
+3. per-row symbol counts land in the LANE dimension via an MXU
+   ones-contraction and stream out on their own DMA.
+
+Input DMAs for super-block sb+1 overlap sb's compute (slot-parity double
+buffering); output and count DMAs drain one super-block behind.  Slot
+buffers are only ever READ under their parity guard (copied into shared
+scratch), never while the opposite slot's DMA may be in flight.
 """
 
 import functools
@@ -41,47 +60,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..alphabet import NSYM
-from .flat import PAD
 from .scan import cumsum_blocked
 
-B = 4096  # symbols per output block (the expand-walk granularity)
+B = 4096  # symbols per output block (the expand granularity)
 LANE = 128
 ROWS = B // LANE  # 32 rows per output block
 WROWS = 40  # old-window rows per block: 32 + 8 (sub-window alignment slack)
 SUPER = 32  # output blocks fetched/stored per DMA round-trip
 SROWS = SUPER * ROWS  # 1024 rows = 131072 symbols per DMA round-trip
 SWROWS = SROWS + 16  # super window: SUPER blocks + alignment + edge slack
-PAD_ROWS = 16  # input padded by this much so windows never clamp
+PAD_ROWS = 16  # permanent input/output tail slack so windows never clamp
+STACK_ROWS = SUPER * WROWS  # stacked aligned windows
 I32 = jnp.int32
 
 
-def _flat_shift_left(v, r, max_bits):
-    """Flattened-order left shift of a (rows, 128) int32 array by a traced
-    scalar r (0 <= r < 2^max_bits), via conditional static shifts; vacated
-    tail positions are garbage (callers never select them)."""
-    rows = v.shape[0]
-    for k in [1 << i for i in range(max_bits - 1, -1, -1)]:
-        if k % LANE == 0:  # whole-row shift
-            q = k // LANE
-            sh = jnp.concatenate([v[q:, :], v[:q, :]], axis=0)
-        else:  # lane shift with row carry: position p takes p + k
-            nxt = jnp.concatenate([v[1:, :], v[:1, :]], axis=0)
-            sh = jnp.concatenate([v[:, k:], nxt[:, :k]], axis=1)
-        bit = jnp.full((1, 1), (r & k) != 0)
-        v = jnp.where(bit, sh, v)
-    return v
+def _row_rotate_down(v, q):
+    """sh[r] = v[r - q] (wrapped; callers mask wrapped rows)."""
+    return jnp.concatenate([v[v.shape[0] - q :], v[: v.shape[0] - q]], axis=0)
 
 
-def _flat_shift_right1(v):
-    """Position p takes p-1 (garbage enters at position 0)."""
-    prv = jnp.concatenate([v[:1, :], v[:-1, :]], axis=0)  # row r-1
-    return jnp.concatenate([prv[:, LANE - 1 :], v[:, : LANE - 1]], axis=1)
+def _row_rotate_up(v, q):
+    """sh[r] = v[r + q] (wrapped; callers mask wrapped rows)."""
+    return jnp.concatenate([v[q:], v[:q]], axis=0)
 
 
-def _merge_kernel(start_ref, old_hbm, ins_hbm, *refs, emit_counts):
-    with jax.enable_x64(False):
-        _merge_body(start_ref, old_hbm, ins_hbm, *refs,
-                    emit_counts=emit_counts)
+def _flat_shift_right(v, step):
+    """Flattened-order: position p takes p - step, for static step < LANE."""
+    prv = _row_rotate_down(v, 1)
+    return jnp.concatenate(
+        [prv[:, LANE - step :], v[:, : LANE - step]], axis=1
+    )
+
+
+def _flat_shift_left(v, step):
+    """Flattened-order: position p takes p + step, for static step < LANE."""
+    nxt = _row_rotate_up(v, 1)
+    return jnp.concatenate([v[:, step:], nxt[:, :step]], axis=1)
 
 
 def _seg_flat_prefix(x):
@@ -107,16 +121,41 @@ def _seg_flat_prefix(x):
     return x + (csum - tot)
 
 
-def _merge_body(start_ref, old_hbm, ins_hbm, *refs, emit_counts):
-    if emit_counts:
-        (out_ref, cnt_ref, oldv, insv, outv, alignv, cntv, sems) = refs
-        _merge_body_serial(start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
-                           oldv, insv, outv, alignv, cntv, sems)
-    else:
-        (out_ref, oldA, oldB, insA, insB, outA, outB, alignv, sems) = refs
-        _merge_body_pipelined(start_ref, old_hbm, ins_hbm, out_ref,
-                              oldA, oldB, insA, insB, outA, outB,
-                              alignv, sems)
+def _align_windows(stv, rem_vec):
+    """One batched alignment pass: every WROWS-row window in the stack is
+    flat-shifted LEFT by its own remainder (0..1023), encoded per-row in
+    rem_vec.  Rows >= ROWS of each window become garbage (never read)."""
+    for k in range(9, -1, -1):
+        step = 1 << k
+        if step >= LANE:
+            sh = _row_rotate_up(stv, step // LANE)
+        else:
+            sh = _flat_shift_left(stv, step)
+        stv = jnp.where((rem_vec & step) != 0, sh, stv)
+    return stv
+
+
+def _expand(insm32, aligned):
+    """out[p] = insmap[p]-1 at insertion positions, else old[p - c(p)]
+    where c = per-block inclusive insertion-count prefix.  The gather runs
+    as 12 conditional static shifts over the bits of c, high to low; valid
+    because c is non-decreasing with slope <= 1 within a block (see module
+    docstring)."""
+    is_ins = insm32 != 0
+    c = _seg_flat_prefix(jnp.where(is_ins, 1, 0).astype(I32))
+    v = aligned
+    rowb = jax.lax.broadcasted_iota(I32, (SROWS, 1), 0) % ROWS
+    lane = jax.lax.broadcasted_iota(I32, (SROWS, LANE), 1)
+    for k in range(11, -1, -1):
+        step = 1 << k
+        if step >= LANE:
+            sh = _row_rotate_down(v, step // LANE)
+            ok = rowb >= (step // LANE)  # source row stays in this block
+        else:
+            sh = _flat_shift_right(v, step)
+            ok = (rowb > 0) | (lane >= step)
+        v = jnp.where(((c & step) != 0) & ok, sh, v)
+    return jnp.where(is_ins, insm32 - 1, v)
 
 
 def _window_scalars(start_ref, sb):
@@ -127,46 +166,14 @@ def _window_scalars(start_ref, sb):
     return rowq_s, b0
 
 
-def _stage1_align(start_ref, oldv, alignv, rowq_s, b0):
-    """Per-sub-block aligned old windows stacked into alignv; returns the
-    max insertion count across the SUPER sub-blocks."""
-    max_ins = jnp.int32(0)
-    for j in range(SUPER):  # static unroll
-        b = b0 + j
-        s0 = start_ref[b]
-        max_ins = jnp.maximum(max_ins, start_ref[b + 1] - s0)
-        old_start = b * B - s0
-        rowq_j = pl.multiple_of((old_start // (8 * LANE)) * 8, 8)
-        off = pl.multiple_of(rowq_j - rowq_s, 8)
-        rem = old_start - rowq_j * LANE  # < 1024
-        old32 = oldv[pl.ds(off, WROWS), :].astype(I32)
-        al = _flat_shift_left(old32, rem, 10)[:ROWS, :]
-        alignv[j * ROWS : (j + 1) * ROWS, :] = al.astype(jnp.int8)
-    return max_ins
+def _merge_kernel(start_ref, old_hbm, ins_hbm, *refs):
+    with jax.enable_x64(False):
+        _merge_body(start_ref, old_hbm, ins_hbm, *refs)
 
 
-def _expand(insmap, alignv, max_ins):
-    is_ins = (insmap != 0).astype(I32)
-    sel = jnp.where(is_ins != 0, -1, _seg_flat_prefix(is_ins))
-
-    def step(t, carry):
-        acc, v = carry
-        acc = jnp.where(sel == t, v, acc)
-        return acc, _flat_shift_right1(v)
-
-    acc, _ = jax.lax.fori_loop(
-        0, max_ins + 1, step,
-        (jnp.full((SROWS, LANE), PAD, I32), alignv[...].astype(I32)),
-    )
-    return jnp.where(is_ins != 0, insmap - 1, acc)
-
-
-def _merge_body_pipelined(start_ref, old_hbm, ins_hbm, out_ref,
-                          oldA, oldB, insA, insB, outA, outB,
-                          alignv, sems):
-    """Double-buffered: super-block sb+1's input DMAs overlap sb's compute;
-    output DMAs drain one super-block behind.  Slot = sb parity; semaphores
-    0/1 = old A/B, 2/3 = ins A/B, 4/5 = out A/B."""
+def _merge_body(start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
+                oldA, oldB, insA, insB, outA, outB, cntA, cntB,
+                oldshare, inshare, stackv, sems):
     cap_rows = old_hbm.shape[0] - PAD_ROWS
     nb_static = cap_rows // ROWS
     nsb = start_ref[nb_static + 1]  # active super-blocks (dynamic)
@@ -188,6 +195,12 @@ def _merge_body_pipelined(start_ref, old_hbm, ins_hbm, out_ref,
             outv, out_ref.at[pl.ds(sb * SROWS, SROWS), :], sems.at[4 + slot]
         )
 
+    def cnt_copy(sb, slot):
+        cntv = cntA if slot == 0 else cntB
+        return pltpu.make_async_copy(
+            cntv, cnt_ref.at[pl.ds(sb * 8, 8), :], sems.at[6 + slot]
+        )
+
     def start_in(sb):
         for slot in (0, 1):
             @pl.when((sb % 2) == slot)
@@ -202,55 +215,82 @@ def _merge_body_pipelined(start_ref, old_hbm, ins_hbm, out_ref,
 
     def super_body(sb, _):
         rowq_s, b0 = _window_scalars(start_ref, sb)
-        for slot in (0, 1):
-            is_slot = (sb % 2) == slot
-            oldv, insv = (oldA, insA) if slot == 0 else (oldB, insB)
-            outv = outA if slot == 0 else outB
 
-            @pl.when(is_slot)
+        # wait this super-block's inputs; copy the live slot into shared
+        # scratch under its parity guard (never read the opposite slot —
+        # it is the in-flight DMA destination for sb+1)
+        for slot in (0, 1):
+            oldv, insv = (oldA, insA) if slot == 0 else (oldB, insB)
+
+            @pl.when((sb % 2) == slot)
             def _():
                 a, b = in_copies(sb, slot)
                 a.wait()
                 b.wait()
+                oldshare[...] = oldv[...]
+                inshare[...] = insv[...]
 
         @pl.when(sb + 1 < nsb)
         def _():
             start_in(sb + 1)
 
-        slot0 = (sb % 2) == 0
-
-        # stage 1 under parity (ref reads need a concrete scratch)
-        max0 = jnp.int32(0)
-        for slot in (0, 1):
-            oldv = oldA if slot == 0 else oldB
-
-            # compute max_ins (pure scalars) once; align writes per slot
-            @pl.when((sb % 2) == slot)
-            def _():
-                _stage1_align(start_ref, oldv, alignv, rowq_s, b0)
-
-        max_ins = jnp.int32(0)
+        # stage 1: stack the 32 aligned windows, then one batched
+        # misalignment-correcting shift pass
+        rems = []
         for j in range(SUPER):
-            max_ins = jnp.maximum(
-                max_ins, start_ref[b0 + j + 1] - start_ref[b0 + j]
-            )
+            b = b0 + j
+            old_start = b * B - start_ref[b]
+            rowq_j = pl.multiple_of((old_start // (8 * LANE)) * 8, 8)
+            off = pl.multiple_of(rowq_j - rowq_s, 8)
+            rems.append(old_start - rowq_j * LANE)  # < 1024
+            stackv[j * WROWS : (j + 1) * WROWS, :] = oldshare[
+                pl.ds(off, WROWS), :
+            ].astype(I32)
+        srow = jax.lax.broadcasted_iota(I32, (STACK_ROWS, 1), 0) // WROWS
+        rem_vec = jnp.zeros((STACK_ROWS, 1), I32)
+        for j in range(SUPER):
+            rem_vec = jnp.where(srow == j, rems[j], rem_vec)
+        stv = _align_windows(stackv[...], rem_vec)
+        aligned = jnp.concatenate(
+            [stv[j * WROWS : j * WROWS + ROWS] for j in range(SUPER)],
+            axis=0,
+        )
 
-        insmap = jnp.where(
-            jnp.full((1, 1), slot0), insA[...], insB[...]
-        ).astype(I32)
-        out = _expand(insmap, alignv, max_ins)
+        # stage 2: expand
+        insm32 = inshare[...].astype(I32)
+        out = _expand(insm32, aligned)
+
+        # stage 3: per-row symbol counts via MXU ones-contraction — counts
+        # land in the LANE dimension, DMA-able
+        ones_row = jnp.ones((1, LANE), jnp.float32)
+        crows = []
+        for sidx in range(NSYM):
+            ind = (out == sidx).astype(jnp.float32)
+            crows.append(
+                jax.lax.dot_general(
+                    ones_row, ind,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )  # (1, SROWS)
+        crows.append(jnp.zeros((2, SROWS), jnp.float32))
+        cnt = jnp.concatenate(crows, axis=0).astype(I32)
 
         for slot in (0, 1):
             outv = outA if slot == 0 else outB
+            cntv = cntA if slot == 0 else cntB
 
             @pl.when(((sb % 2) == slot) & (sb >= 2))
             def _():
                 out_copy(sb - 2, slot).wait()  # free the slot
+                cnt_copy(sb - 2, slot).wait()
 
             @pl.when((sb % 2) == slot)
             def _():
                 outv[...] = out.astype(jnp.int8)
+                cntv[...] = cnt
                 out_copy(sb, slot).start()
+                cnt_copy(sb, slot).start()
 
         return 0
 
@@ -264,82 +304,35 @@ def _merge_body_pipelined(start_ref, old_hbm, ins_hbm, out_ref,
                 @pl.when((sb % 2) == slot)
                 def _():
                     out_copy(sb, slot).wait()
-
-
-def _merge_body_serial(start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
-                       oldv, insv, outv, alignv, cntv, sems):
-    cap_rows = old_hbm.shape[0] - PAD_ROWS
-    nb_static = cap_rows // ROWS
-    nsb = start_ref[nb_static + 1]  # active super-blocks (dynamic)
-
-    def super_body(sb, _):
-        rowq_s, b0 = _window_scalars(start_ref, sb)
-        cp_old = pltpu.make_async_copy(
-            old_hbm.at[pl.ds(rowq_s, SWROWS), :], oldv, sems.at[0]
-        )
-        cp_ins = pltpu.make_async_copy(
-            ins_hbm.at[pl.ds(sb * SROWS, SROWS), :], insv, sems.at[1]
-        )
-        cp_old.start()
-        cp_ins.start()
-        cp_old.wait()
-        max_ins = _stage1_align(start_ref, oldv, alignv, rowq_s, b0)
-        cp_ins.wait()
-        out = _expand(insv[...].astype(I32), alignv, max_ins)
-        outv[...] = out.astype(jnp.int8)
-        cp_out = pltpu.make_async_copy(
-            outv, out_ref.at[pl.ds(sb * SROWS, SROWS), :], sems.at[2]
-        )
-        cp_out.start()
-
-        # fused per-ROW (K=128) symbol counts: contract lanes on the
-        # MXU so counts land in the LANE dimension (DMA-able)
-        ones_row = jnp.ones((1, LANE), jnp.float32)
-        rows = []
-        for sidx in range(NSYM):
-            ind = (out == sidx).astype(jnp.float32)
-            rows.append(
-                jax.lax.dot_general(
-                    ones_row, ind,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )  # (1, SROWS)
-        rows.append(jnp.zeros((2, SROWS), jnp.float32))  # pad sublanes
-        cntv[...] = jnp.concatenate(rows, axis=0).astype(I32)
-        cp_cnt = pltpu.make_async_copy(
-            cntv, cnt_ref.at[pl.ds(sb * 8, 8), :], sems.at[3]
-        )
-        cp_cnt.start()
-        cp_cnt.wait()
-        cp_out.wait()
-        return 0
-
-    jax.lax.fori_loop(0, nsb, super_body, 0)
+                    cnt_copy(sb, slot).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("K", "interpret"))
 def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
                  interpret=False):
-    """Apply one round's insertions; returns (new_bwt, blk_prefix).
+    """Apply one round's insertions; returns (new_bwt, blk_prefix int32).
 
-    ``n`` (current content size) bounds the work to the live prefix: blocks
-    past n + #insertions are left untouched (their garbage is never read —
-    queries stay below n and table prefixes only accumulate upward).
+    ``bwt`` is the slack-carrying allocation (cap + PAD_ROWS*LANE int8
+    symbols, flat.py layout); logical capacity cap = len - PAD_ROWS*LANE.
+    ``n`` (current content size) bounds the work to the live prefix:
+    blocks past n + #insertions are left untouched/uninitialized (their
+    garbage is never read — queries stay below n and table prefixes only
+    accumulate upward).
 
-    bwt int8[CAP]; pos/stream int[M] (old-coord insertion points + tie
-    ranks, int32 or int64); sym int32[M]; valid bool[M].  Requires
-    CAP % (SUPER*B) == 0 (multiples of 131072), CAP < 2^31, K % LANE == 0."""
-    cap = bwt.shape[0]
+    pos/stream int[M] (old-coord insertion points + tie ranks, int32 or
+    int64); sym int32[M]; valid bool[M].  Requires cap % (SUPER*B) == 0
+    (multiples of 131072), cap < 2^31, K % LANE == 0."""
+    cap_alloc = bwt.shape[0]
+    cap = cap_alloc - PAD_ROWS * LANE
     m = pos.shape[0]
     nb = cap // B
     cap_rows = cap // LANE
     assert cap % (SUPER * B) == 0 and cap < (1 << 31)
-    assert K % LANE == 0
+    assert K % LANE == 0 and (PAD_ROWS * LANE) % K == 0
 
     pdt = pos.dtype
     dest = pos + stream  # new-coordinate destinations, strictly increasing
-    trash = jnp.asarray(cap + B, pdt)
+    trash = jnp.asarray(cap, pdt)
     dest_masked = jnp.where(valid, dest, trash)
 
     # insmap[d] = sym+1 at insertion destinations, else 0
@@ -368,69 +361,58 @@ def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
         ).astype(I32)
     start_ins = jnp.concatenate([start_ins, nsb_active[None]])
 
-    old_padded = jnp.concatenate(
-        [bwt, jnp.full((PAD_ROWS * LANE,), PAD, jnp.int8)]
-    )
     nsb_total = cap_rows // SROWS
-    emit_counts = K == LANE
-    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
-    out_shape = [jax.ShapeDtypeStruct((cap_rows, LANE), jnp.int8)]
-    if emit_counts:  # serial body: oldv, insv, outv, alignv, cntv
-        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        out_shape.append(
-            jax.ShapeDtypeStruct((nsb_total * 8, SROWS), I32)
-        )
-        scratch = [
-            pltpu.VMEM((SWROWS, LANE), jnp.int8),
-            pltpu.VMEM((SROWS, LANE), jnp.int8),
-            pltpu.VMEM((SROWS, LANE), jnp.int8),
-            pltpu.VMEM((SROWS, LANE), jnp.int8),
-            pltpu.VMEM((8, SROWS), I32),
-        ]
-    else:  # pipelined body: oldA/B, insA/B, outA/B, alignv
-        scratch = [
-            pltpu.VMEM((SWROWS, LANE), jnp.int8),
-            pltpu.VMEM((SWROWS, LANE), jnp.int8),
-            pltpu.VMEM((SROWS, LANE), jnp.int8),
-            pltpu.VMEM((SROWS, LANE), jnp.int8),
-            pltpu.VMEM((SROWS, LANE), jnp.int8),
-            pltpu.VMEM((SROWS, LANE), jnp.int8),
-            pltpu.VMEM((SROWS, LANE), jnp.int8),
-        ]
-    scratch.append(pltpu.SemaphoreType.DMA((6,)))
-    outs = pl.pallas_call(
-        functools.partial(_merge_kernel, emit_counts=emit_counts),
+    new_bwt, cnt_out = pl.pallas_call(
+        _merge_kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # start_ins
             pl.BlockSpec(memory_space=pl.ANY),  # old bwt (rows, 128)
             pl.BlockSpec(memory_space=pl.ANY),  # insmap (rows, 128)
         ],
-        out_specs=out_specs if emit_counts else out_specs[0],
-        out_shape=out_shape if emit_counts else out_shape[0],
-        scratch_shapes=scratch,
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cap_rows + PAD_ROWS, LANE), jnp.int8),
+            jax.ShapeDtypeStruct((nsb_total * 8, SROWS), I32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SWROWS, LANE), jnp.int8),  # oldA
+            pltpu.VMEM((SWROWS, LANE), jnp.int8),  # oldB
+            pltpu.VMEM((SROWS, LANE), jnp.int8),  # insA
+            pltpu.VMEM((SROWS, LANE), jnp.int8),  # insB
+            pltpu.VMEM((SROWS, LANE), jnp.int8),  # outA
+            pltpu.VMEM((SROWS, LANE), jnp.int8),  # outB
+            pltpu.VMEM((8, SROWS), I32),  # cntA
+            pltpu.VMEM((8, SROWS), I32),  # cntB
+            pltpu.VMEM((SWROWS, LANE), jnp.int8),  # oldshare
+            pltpu.VMEM((SROWS, LANE), jnp.int8),  # inshare
+            pltpu.VMEM((STACK_ROWS, LANE), I32),  # stackv
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(start_ins, old_padded.reshape(cap_rows + PAD_ROWS, LANE),
+    )(start_ins, bwt.reshape(cap_rows + PAD_ROWS, LANE),
       insmap.reshape(cap_rows, LANE))
-    if emit_counts:
-        new_bwt, cnt_out = outs
-    else:
-        new_bwt = outs
-    new_bwt = new_bwt.reshape(cap)
+    new_bwt = new_bwt.reshape(cap_alloc)
 
-    if emit_counts:
-        # counts fused in the kernel: (nsb, 8, SROWS) -> (cap_rows, 6)
-        rows6 = jnp.transpose(
-            cnt_out.reshape(nsb_total, 8, SROWS)[:, :NSYM, :], (0, 2, 1)
-        ).reshape(cap_rows, NSYM)
-        blk_prefix = jnp.concatenate(
-            [
-                jnp.zeros((1, NSYM), jnp.int64),
-                cumsum_blocked(rows6.astype(jnp.int64)),
-            ]
-        )
-        return new_bwt, blk_prefix
-
-    from .rank import build_block_tables
-
-    return new_bwt, build_block_tables(new_bwt, K)
+    # counts -> K-block rank prefix (int32: cap < 2^31 is asserted above).
+    # Rows past the live prefix are garbage; the cumsum only pollutes rows
+    # past n, which are never read.
+    rows6 = jnp.transpose(
+        cnt_out.reshape(nsb_total, 8, SROWS)[:, :NSYM, :], (0, 2, 1)
+    ).reshape(cap_rows, NSYM)
+    kk = K // LANE
+    blk_cnt = (
+        rows6 if kk == 1
+        else rows6.reshape(cap_rows // kk, kk, NSYM).sum(axis=1, dtype=I32)
+    )
+    blk_prefix = jnp.concatenate(
+        [
+            jnp.zeros((1, NSYM), I32),
+            cumsum_blocked(blk_cnt),
+            jnp.zeros(((PAD_ROWS * LANE) // K, NSYM), I32),
+        ]
+    )
+    return new_bwt, blk_prefix

@@ -12,10 +12,13 @@ from ..alphabet import NSYM
 from .scan import cumsum_blocked
 
 
-def build_block_tables(bwt, K: int):
+def build_block_tables(bwt, K: int, dtype=jnp.int64):
     """Per-symbol prefix counts at every K-block boundary.
 
-    bwt: int8[CAP] (PAD=6 beyond n). Returns int64[CAP//K + 1, 6]."""
+    bwt: int8[ALLOC] (content beyond n unspecified — rows past the live
+    prefix are garbage and must never be consumed).  Returns
+    dtype[ALLOC//K + 1, 6]; pass int32 while counts fit (int64 vector math
+    is an order of magnitude slower on TPU)."""
     nb = bwt.shape[0] // K
     blocks = bwt.reshape(nb, K)
     sym = jnp.arange(NSYM, dtype=bwt.dtype)
@@ -24,8 +27,8 @@ def build_block_tables(bwt, K: int):
     )
     pref = jnp.concatenate(
         [
-            jnp.zeros((1, NSYM), dtype=jnp.int64),
-            cumsum_blocked(cnts.astype(jnp.int64)),
+            jnp.zeros((1, NSYM), dtype=dtype),
+            cumsum_blocked(cnts.astype(dtype)),
         ]
     )
     return pref

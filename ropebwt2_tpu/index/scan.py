@@ -51,7 +51,8 @@ def _cumsum2d(x, exact=False):
     if m <= _LEAF or m % _B != 0:
         if x.dtype == jnp.int64 or m % _B != 0:
             return cumsum_small(x, axis=0)
-        return jnp.cumsum(x, axis=0)
+        # jnp.cumsum promotes int32 -> int64 under x64; keep the dtype
+        return jnp.cumsum(x, axis=0).astype(x.dtype)
     nb = m // _B
     xb = x.reshape(nb, _B, c)
     if exact:

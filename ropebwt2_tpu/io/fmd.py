@@ -214,9 +214,12 @@ def read_fmd(path_or_file):
     try:
         head = f.read(4)
         if head != b"RLD\x03":
-            # raw 5+3 RLE byte stream: byte = len<<3 | sym (rld0.c:276-289)
+            # raw 5+3 RLE byte stream: byte = len<<3 | sym.  Like the
+            # reference (rld_restore_header has already consumed the 4
+            # magic bytes before the fallback loop, rld0.c:276-289), the
+            # first 4 bytes are dropped.
             runs = []
-            data = head + f.read()
+            data = f.read()
             for byte in data:
                 if byte >> 3:
                     c, l = byte & 7, byte >> 3

@@ -29,6 +29,7 @@ static bool nt6_init_done = false;
 static void nt6_init() {
   if (nt6_init_done) return;
   memset(nt6_tab, 5, 256);
+  nt6_tab[0] = 0;  // seq_nt6_table[0] == 0 (reference main.c:17)
   const char *bases = "ACGT";
   for (int i = 0; i < 4; ++i) {
     nt6_tab[(uint8_t)bases[i]] = (uint8_t)(i + 1);

@@ -127,8 +127,13 @@ def test_fmd_roundtrip_and_reference_decode(ref_binary, rng):
 def test_fmd_raw_rle_fallback():
     from ropebwt2_tpu.io.fmd import read_fmd
 
-    # 5+3 raw rle: (len<<3|sym) bytes; zero-length bytes skipped
-    raw = bytes([3 << 3 | 1, 2 << 3 | 1, 5 << 3 | 0, 0, 31 << 3 | 4])
+    # 5+3 raw rle: (len<<3|sym) bytes; zero-length bytes skipped.  Like the
+    # reference, the first 4 bytes were consumed as a would-be magic before
+    # the fallback loop runs (rld_restore_header, rld0.c:246-306), so the
+    # payload starts at offset 4.
+    raw = bytes([1, 2, 3, 4]) + bytes(
+        [3 << 3 | 1, 2 << 3 | 1, 5 << 3 | 0, 0, 31 << 3 | 4]
+    )
     runs, mcnt = read_fmd(io.BytesIO(raw))
     assert runs == [(1, 5), (0, 5), (4, 31)]
     assert mcnt[0] == 41 and mcnt[2] == 5 and mcnt[1] == 5

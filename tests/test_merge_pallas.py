@@ -1,20 +1,53 @@
 """The Pallas merge kernel (interpret mode) must agree exactly with the jnp
-reference merge + table rebuild."""
+reference merge + table rebuild on the live prefix.
+
+The kernel contract (index/merge_pallas.py): the input buffer carries
+PAD_ROWS*LANE = 2048 symbols of tail slack (flat.py allocates it), content
+past the live prefix is unspecified on output, and the returned block
+prefix is int32 and exact for all boundaries at or below n + #insertions.
+"""
 
 import numpy as np
 import jax.numpy as jnp
 
+from ropebwt2_tpu.index.flat import PAD_TAIL
 from ropebwt2_tpu.index.merge import apply_insertions
 from ropebwt2_tpu.index.merge_pallas import merge_pallas
 from ropebwt2_tpu.index.rank import build_block_tables
+
+
+def _mk(rng, cap, n, garbage_tail=False):
+    buf = np.full(cap + PAD_TAIL, 6, np.int8)
+    buf[:n] = rng.integers(0, 6, n)
+    if garbage_tail:  # simulate post-round unspecified content past n
+        buf[n:] = rng.integers(-128, 127, cap + PAD_TAIL - n)
+    return buf
+
+
+def _check(rng, bwt, n, pos, sym, stream, valid, K, trial=""):
+    jb = jnp.asarray(bwt)
+    jargs = [jnp.asarray(x) for x in (pos, sym, stream, valid)]
+    ref = apply_insertions(jb, jnp.asarray(n), *jargs)
+    got, got_pref = merge_pallas(
+        jb, *jargs, n=jnp.asarray(n), K=K, interpret=True
+    )
+    lim = n + int(valid.sum())  # content past the live prefix is unspecified
+    assert np.array_equal(
+        np.asarray(ref)[:lim], np.asarray(got)[:lim]
+    ), trial
+    limk = lim // K  # exact table rows in the live prefix
+    assert got_pref.dtype == jnp.int32
+    assert np.array_equal(
+        np.asarray(build_block_tables(ref, K))[: limk + 1],
+        np.asarray(got_pref)[: limk + 1],
+    ), trial
 
 
 def test_merge_pallas_interpret_matches_reference(rng):
     for trial in range(8):
         CAP, M, K = 131072, 64, 256
         n = int(rng.integers(0, CAP - M))
-        bwt = np.full(CAP, 6, np.int8)
-        bwt[:n] = rng.integers(0, 6, n)
+        bwt = _mk(rng, CAP, n, garbage_tail=trial % 2 == 1)
         A = int(rng.integers(0, M + 1))
         pos = np.sort(rng.integers(0, n + 1, A))
         allpos = np.zeros(M, np.int64)
@@ -25,69 +58,70 @@ def test_merge_pallas_interpret_matches_reference(rng):
         stream[:A] = np.arange(A)
         valid = np.zeros(M, bool)
         valid[:A] = True
-        jb = jnp.asarray(bwt)
-        jargs = [
-            jnp.asarray(x) for x in (allpos, sym, stream, valid)
-        ]
-        ref = apply_insertions(jb, jnp.asarray(n), *jargs)
-        got, got_pref = merge_pallas(
-            jb, *jargs, n=jnp.asarray(n), K=K, interpret=True
-        )
-        npref = np.asarray(ref)
-        ngot = np.asarray(got)
-        lim = n + A  # blocks past the live prefix are untouched
-        assert np.array_equal(npref[:lim], ngot[:lim]), trial
-        limk = (n + A) // K  # table rows in the live prefix
-        assert np.array_equal(
-            np.asarray(build_block_tables(ref, K))[: limk + 1],
-            np.asarray(got_pref)[: limk + 1],
-        ), trial
+        _check(rng, bwt, n, allpos, sym, stream, valid, K, trial)
 
 
-def test_merge_pallas_k128_fused_counts_and_multi_superblock(rng):
-    """The K==128 fused-counts emission, multi-super-block offsets (sb>0),
-    and int32 position dtypes — the exact configuration the engine feeds on
-    TPU for small capacities."""
-    import jax.numpy as jnp
-
+def test_merge_pallas_k128_and_multi_superblock(rng):
+    """K=128 (per-row) tables, multi-super-block offsets (sb>0), and int32
+    position dtypes — the exact configuration the engine feeds on TPU."""
     for K, CAP in ((128, 262144), (256, 262144)):
         M = 256
         n = CAP - M - 7
-        bwt = np.full(CAP, 6, np.int8)
-        bwt[:n] = rng.integers(0, 6, n)
-        A = M
-        pos = np.sort(rng.integers(0, n + 1, A)).astype(np.int32)
-        sym = rng.integers(0, 6, A).astype(np.int32)
-        stream = np.arange(A, dtype=np.int32)
-        valid = np.ones(A, bool)
-        jb = jnp.asarray(bwt)
-        jargs = [jnp.asarray(x) for x in (pos, sym, stream, valid)]
-        ref = apply_insertions(jb, jnp.asarray(n), *jargs)
-        got, pref = merge_pallas(
-            jb, *jargs, n=jnp.asarray(n, jnp.int32), K=K, interpret=True
-        )
-        lim = n + A
-        assert np.array_equal(np.asarray(ref)[:lim], np.asarray(got)[:lim])
-        limk = lim // K
-        assert np.array_equal(
-            np.asarray(build_block_tables(ref, K))[: limk + 1],
-            np.asarray(pref)[: limk + 1],
-        ), K
+        bwt = _mk(rng, CAP, n)
+        pos = np.sort(rng.integers(0, n + 1, M)).astype(np.int32)
+        sym = rng.integers(0, 6, M).astype(np.int32)
+        stream = np.arange(M, dtype=np.int32)
+        valid = np.ones(M, bool)
+        _check(rng, bwt, n, pos, sym, stream, valid, K, K)
 
 
 def test_merge_pallas_dense_insertions(rng):
-    """Blocks packed with insertions (worst-case t-loop depth)."""
+    """Blocks packed with insertions — the log-shift expand's high bits."""
     CAP, K = 131072, 256
-    M = 2048
+    M = 4096
     n = 1000
-    bwt = np.full(CAP, 6, np.int8)
-    bwt[:n] = rng.integers(0, 6, n)
+    bwt = _mk(rng, CAP, n)
     pos = np.sort(rng.integers(0, 50, M)).astype(np.int64)  # clustered
     sym = rng.integers(0, 6, M).astype(np.int32)
     stream = np.arange(M, dtype=np.int64)
     valid = np.ones(M, bool)
-    jb = jnp.asarray(bwt)
-    jargs = [jnp.asarray(x) for x in (pos, sym, stream, valid)]
-    ref = apply_insertions(jb, jnp.asarray(n), *jargs)
-    got, _ = merge_pallas(jb, *jargs, K=K, interpret=True)
-    assert np.array_equal(np.asarray(ref), np.asarray(got))
+    _check(rng, bwt, n, pos, sym, stream, valid, K)
+
+
+def test_merge_pallas_fully_dense_block(rng):
+    """An entire 4096-symbol block of insertions plus ragged neighbours —
+    exercises every bit level of the log-shift including c == B."""
+    CAP, K = 131072, 256
+    M = 8192
+    n = 9000
+    bwt = _mk(rng, CAP, n, garbage_tail=True)
+    # first 5000 insertions at old position 0 -> output block 0 is
+    # entirely insertions (c reaches B); the rest keep blocks 1..3
+    # insertion-dominant with odd offsets
+    pos = np.sort(
+        np.concatenate([np.zeros(5000, np.int32),
+                        rng.integers(0, 4000, M - 5000).astype(np.int32)])
+    ).astype(np.int32)
+    sym = rng.integers(0, 6, M).astype(np.int32)
+    stream = np.arange(M, dtype=np.int32)
+    valid = np.ones(M, bool)
+    _check(rng, bwt, n, pos, sym, stream, valid, K)
+
+
+def test_merge_pallas_sparse_and_empty(rng):
+    CAP, K = 131072, 256
+    n = 70000
+    bwt = _mk(rng, CAP, n)
+    # zero valid insertions
+    M = 32
+    pos = np.zeros(M, np.int64)
+    sym = np.zeros(M, np.int32)
+    stream = np.zeros(M, np.int64)
+    valid = np.zeros(M, bool)
+    _check(rng, bwt, n, pos, sym, stream, valid, K)
+    # one insertion at the very end and one at 0
+    valid[:2] = True
+    pos[:2] = (0, n)
+    stream[:2] = (0, 1)
+    sym[:2] = (3, 4)
+    _check(rng, bwt, n, pos, sym, stream, valid, K)
