@@ -138,17 +138,12 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     sym = jnp.where(active, sym, 0)
 
     # ---- 2. groups: runs of equal (inert, bucket, u) ----
-    prev_c = jnp.roll(c, 1)
+    tkey = c * 2 + inert.astype(I32)  # bucket + inert packed: one compare
+    prev_tkey = jnp.roll(tkey, 1)
     prev_u = jnp.roll(u, 1)
-    prev_inert = jnp.roll(inert, 1)
-    head = (
-        (arange_m == 0)
-        | (c != prev_c)
-        | (u != prev_u)
-        | (inert != prev_inert)
-    )
+    bucket_head = (arange_m == 0) | (tkey != prev_tkey)
+    head = bucket_head | (u != prev_u)
     headidx = jax.lax.cummax(jnp.where(head, arange_m, 0))
-    bucket_head = (arange_m == 0) | (c != prev_c) | (inert != prev_inert)
     bktheadidx = jax.lax.cummax(jnp.where(bucket_head, arange_m, 0))
 
     # Stored intervals are in PROGRESSIVE coordinates (the reference inserts
@@ -156,10 +151,14 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     # insertion made into its partition by earlier groups of the same round,
     # all of which land before it).  E = #reads in earlier groups of this
     # bucket recovers start-of-round coordinates, in which the old buffer
-    # and its rank tables live.
+    # and its rank tables live.  Group members share the same stored l and
+    # u (the reference writes identical tl[c]/tu[c] to every member,
+    # mrope.c:227-231, and distinct parent groups' children cannot collide
+    # on u within a bucket), so the head subtraction is elementwise — no
+    # gather needed.
     E = (headidx - bktheadidx).astype(pdt)
-    L = l[headidx] - E
-    U = u[headidx] - E
+    L = l - E
+    U = u - E
 
     # ---- 3. batched rank2a at the group interval ends ----
     poff = jnp.concatenate(
@@ -206,13 +205,18 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     oh32 = oh.astype(I32)
     csum = cumsum_blocked(oh32)  # inclusive
     excl = csum - oh32
-    grp_start = excl[headidx]  # counts before this group
-    bkt_start = excl[bktheadidx]
-    P = (grp_start - bkt_start).astype(pdt)  # earlier groups, same bucket
 
-    # per-row group totals WITHOUT a scatter-add segment_sum: groups are
-    # contiguous runs, so total = inclusive csum at the group tail minus the
-    # exclusive csum at the group head.  Tail index = next head - 1.
+    # cross-row lookups as flattened single-value gathers: a full (M,6) row
+    # gather moves ~6x the data of the one value actually consumed, and
+    # M-sized gathers dominate the plan phase on TPU
+    hsym = headidx * NSYM + sym
+    flat_excl = excl.reshape(-1)
+    g_head = flat_excl[hsym]  # excl[headidx, sym]
+    g_bkt = flat_excl[bktheadidx * NSYM + sym]
+    # my-symbol insertions by earlier groups of my bucket
+    P_sym = (g_head - g_bkt).astype(pdt)
+
+    # group tail index = next head - 1 (groups are contiguous runs)
     nexthead = jax.lax.cummin(
         jnp.where(head, arange_m, M), reverse=True
     )  # first head index >= i (M if none)
@@ -221,7 +225,25 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
         0,
         M - 1,
     )
-    cnt_row = csum[tailidx] - grp_start  # (M,6) group totals per row
+
+    # before_in_group = sum_s (csum[tail,s] - excl[head,s]) * em_lt[sym,s]:
+    # precontract the 6-wide axis on the MXU so only single values are
+    # gathered (exact in f32 while 6M < 2^24)
+    em_lt = (em[None, :] < em[:, None]).astype(I32)  # em_lt[a, b] = em_b < em_a
+    if M <= (1 << 21):
+        emf = em_lt.astype(jnp.float32)
+        Wc = jnp.einsum(
+            "ms,ts->mt", csum.astype(jnp.float32), emf
+        ).astype(I32)
+        We = jnp.einsum(
+            "ms,ts->mt", excl.astype(jnp.float32), emf
+        ).astype(I32)
+        before_in_group = (
+            Wc.reshape(-1)[tailidx * NSYM + sym] - We.reshape(-1)[hsym]
+        )
+    else:
+        cnt_row = csum[tailidx] - excl[headidx]  # (M,6) group totals
+        before_in_group = jnp.sum(cnt_row * em_lt[sym], axis=1)
 
     # per-bucket inserted-symbol totals: a 6xM one-hot contraction (MXU)
     # instead of a scatter-add into 6 segments
@@ -246,12 +268,8 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     ).astype(pdt)  # (6,6): counts of s in partitions < b after this round
 
     # ---- global tie rank (stream index) of each read's insertion ----
-    em_lt = (em[None, :] < em[:, None]).astype(I32)  # em_lt[a, b] = em_b < em_a
-    before_in_group = jnp.sum(
-        cnt_row * em_lt[sym], axis=1
-    )  # symbols of this group emitted before ours
-    rank_in_run = take_sym(excl) - take_sym(grp_start)
-    n_inert = jnp.sum(inert.astype(I32))
+    rank_in_run = take_sym(excl) - g_head
+    n_inert = jnp.sum(inert, dtype=I32)
     stream = (
         (headidx - n_inert).astype(pdt)
         + before_in_group.astype(pdt)
@@ -259,7 +277,11 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     )
 
     # ---- interval update (+ fused cross-bucket rebase) ----
-    l_new = take_sym(TL) + take_sym(P) + take_sym(ac_excl[c])
+    l_new = (
+        take_sym(TL)
+        + P_sym
+        + ac_excl.reshape(-1)[c * NSYM + sym]  # ac_excl[c, sym]
+    )
     u_new = l_new + take_sym(delta)
     l = jnp.where(active, l_new, l)
     u = jnp.where(active, u_new, u)
