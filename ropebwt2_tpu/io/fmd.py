@@ -300,6 +300,322 @@ def read_fmd(path_or_file):
             f.close()
 
 
+_DELTA_WTAB = 0x333333335555779B
+
+
+def _dec0(words, p, r, stail):
+    """Decode one run at word p / bits-remaining r, stopping at stail
+    (rld_dec0, rld0.h:79-96; abits=3 hardcoded like _DNA_ONLY).  Returns
+    (c, l, p, r) or None at end-of-block padding."""
+    x = (int(words[p]) << (64 - r)) & 0xFFFFFFFFFFFFFFFF
+    if p != stail and r != 64:
+        x |= int(words[p + 1]) >> r
+    if x >> 63 == 0:
+        w = (_DELTA_WTAB >> ((x >> 59) << 2)) & 0xF
+        if w == 0xB and (x >> 58) == 0:
+            return None
+        l_ = (x >> (64 - w)) - 1
+        y = ((x << w) & 0xFFFFFFFFFFFFFFFF) >> (64 - l_) | (1 << l_)
+        w += l_
+    else:
+        w = y = 1
+    c = ((x << w) & 0xFFFFFFFFFFFFFFFF) >> 61
+    w += 3
+    if c > 6:
+        return None
+    if r > w:
+        r -= w
+    else:
+        p += 1
+        r = 64 + r - w
+    if p > stail:
+        return None
+    return int(c), int(y), p, r
+
+
+class FmdReader:
+    """Lazy, mmap-backed FMD index — the rld_restore_mmap equivalent
+    (rld0.c:308-327).  The file is mapped read-only as an array of 64-bit
+    words; nothing is decoded until queried.
+
+    Query surface mirrors rld0's: rank1a/rank11/rank2a/rank21 point ranks
+    via the sampled frame index (rld_locate_blk + block decode,
+    rld0.c:357-471), extend() (rld0.c:473-489), a streaming run iterator
+    (rld_dec, rld0.h:98-116), and to_flat() to lift the index into a
+    device-resident FlatBwt for the batched TPU query API."""
+
+    HDR = 10  # header words before the data: magic/a, reserved, n_bytes,
+    # n_frames, mcnt[1..6]  (rld_dump, rld0.c:223-244)
+
+    def __init__(self, path):
+        import numpy as np
+
+        self.words = np.memmap(path, dtype=np.uint64, mode="r")
+        w0 = int(self.words[0])
+        if w0 & 0xFFFFFFFF != int.from_bytes(b"RLD\x03", "little"):
+            raise ValueError(f"{path}: not an FMD file")
+        a = w0 >> 32
+        self.asize, self.sbits = a >> 16, a & 0xFFFF
+        self.asize1 = self.asize + 1
+        self.ssize = 1 << self.sbits
+        self.n_bytes = int(self.words[2])
+        self.n_frames = int(self.words[3])
+        mtail = [int(self.words[4 + i]) for i in range(self.asize)]
+        self.mcnt = [sum(mtail)] + mtail  # marginal counts (mcnt[0] = total)
+        # accumulative counts cnt[a] = # symbols < a (rld_restore_header)
+        self.cnt = [0] * self.asize1
+        for i in range(1, self.asize1):
+            self.cnt[i] = self.cnt[i - 1] + mtail[i - 1]
+        self.data0 = self.HDR  # first data word
+        self.frame0 = self.HDR + self.n_bytes // 8  # first frame word
+        n_blks = self.n_bytes * 8 // 64 // self.ssize + 1
+        self.ibits = _ilog2(self.mcnt[0] // n_blks) + IBITS_PLUS
+        self.offset0 = [
+            (self.asize1 * 16 + 63) // 64,
+            (self.asize1 * 32 + 63) // 64,
+            self.asize1,
+        ]
+
+    # --- block-level helpers ---
+
+    def _stail(self, shead):
+        """Last usable word of the small block at flat word index shead."""
+        end = shead + self.ssize - self.data0
+        return shead + self.ssize - (2 if end % RLD_LSIZE == 0 else 1)
+
+    def _hdr_counts(self, q):
+        """(region_total, per-symbol counts) from the block header at q
+        (enc_next_block layout, rld0.c:107-135)."""
+        w0 = int(self.words[q])
+        type_ = w0 >> 62
+        out = [0] * self.asize
+        if type_ == 0:
+            c = w0 & 0xFFFF
+            for j in range(1, self.asize1):
+                ww, sh = divmod(j * 16, 64)
+                out[j - 1] = (int(self.words[q + ww]) >> sh) & 0xFFFF
+        elif type_ == 1:
+            c = w0 & 0xFFFFFFFF
+            for j in range(1, self.asize1):
+                ww, sh = divmod(j * 32, 64)
+                out[j - 1] = (
+                    (int(self.words[q + ww]) >> sh) & 0xFFFFFFFF
+                ) & 0x3FFFFFFF
+        else:
+            c = w0 & 0x3FFFFFFFFFFFFFFF
+            for j in range(1, self.asize1):
+                out[j - 1] = int(self.words[q + j])
+        return c, out
+
+    def _locate_blk(self, k):
+        """Seek to the small block whose content brackets position k
+        (rld_locate_blk, rld0.c:357-398).  Returns (shead, cnt, z, y):
+        decode start, per-symbol counts before the block, symbols before
+        the block, and the block's end position."""
+        fi = (k >> self.ibits) * self.asize1
+        z0 = int(self.words[self.frame0 + fi])
+        p = self.data0 + (z0 >> RLD_LBITS) * RLD_LSIZE + (z0 & (RLD_LSIZE - 1))
+        cnt = [
+            int(self.words[self.frame0 + fi + j])
+            for j in range(1, self.asize1)
+        ]
+        z = sum(cnt)
+        while True:
+            q = p + self.ssize
+            c, hdr = self._hdr_counts(q)
+            if z + c > k:
+                break
+            for j in range(self.asize):
+                cnt[j] += hdr[j]
+            z += c
+            p = q
+        return p, cnt, z, z + c
+
+    def _block_runs(self, shead):
+        """Decode all runs of one small block."""
+        type_ = int(self.words[shead]) >> 62
+        p = shead + self.offset0[type_]
+        r = 64
+        stail = self._stail(shead)
+        while True:
+            dec = _dec0(self.words, p, r, stail)
+            if dec is None:
+                return
+            c, l, p, r = dec
+            yield c, l
+
+    # --- the rld0 query surface ---
+
+    def rank1a(self, k):
+        """ok[a] = # of symbol a in B[0:k] (rld_rank1a, rld0.c:402-421)."""
+        if k == 0:
+            return [0] * self.asize
+        shead, ok, z, _ = self._locate_blk(k - 1)
+        for c, l in self._block_runs(shead):
+            if z + l >= k:
+                ok[c] += k - z
+                return ok
+            z += l
+            ok[c] += l
+        raise ValueError("rank past end of index")
+
+    def rank11(self, k, c):
+        if k == (1 << 64) - 1 or k == -1:
+            return 0
+        return self.rank1a(k)[c]
+
+    def rank2a(self, k, l):
+        """Two-point rank with the same-block shortcut of rld_rank2a
+        (rld0.c:430-466)."""
+        if k == 0:
+            return [0] * self.asize, self.rank1a(l)
+        shead, ok, z, y = self._locate_blk(k - 1)
+        it = self._block_runs(shead)
+        for c, ln in it:
+            if z + ln >= k:
+                break
+            z += ln
+            ok[c] += ln
+        if y > l:  # l falls in the same block: keep decoding
+            ol = list(ok)
+            ok[c] += k - z
+            if z + ln < l:
+                z += ln
+                ol[c] += ln
+                for c, ln in it:
+                    if z + ln >= l:
+                        break
+                    z += ln
+                    ol[c] += ln
+            ol[c] += l - z
+            return ok, ol
+        ok[c] += k - z
+        return ok, self.rank1a(l)
+
+    def rank21(self, k, l, c):
+        ok, ol = self.rank2a(k, l)
+        return ok[c], ol[c]
+
+    def extend(self, ik, is_back=True):
+        """One backward/forward extension of a bi-interval (x0, x1, size)
+        (rld_extend, rld0.c:473-489).  Returns ok[6] of bi-intervals."""
+        x0, x1, sz = ik
+        p = x0 if is_back else x1
+        tk, tl = self.rank2a(p, p + sz)
+        size = [tl[a] - tk[a] for a in range(self.asize)]
+        same = [self.cnt[a] + tk[a] for a in range(self.asize)]
+        other = [0] * self.asize
+        other[0] = x1 if is_back else x0
+        other[4] = other[0] + size[0]
+        other[3] = other[4] + size[4]
+        other[2] = other[3] + size[3]
+        other[1] = other[2] + size[2]
+        other[5] = other[1] + size[1]
+        if is_back:
+            return [(same[a], other[a], size[a]) for a in range(self.asize)]
+        return [(other[a], same[a], size[a]) for a in range(self.asize)]
+
+    # --- streaming decode (rld_dec semantics) ---
+
+    def runs(self):
+        """Stream all runs, adjacent equal-symbol runs merged (what
+        rld_dec + run merging yields)."""
+        last_c, last_l = -1, 0
+        shead = self.data0
+        end = self.data0 + ((self.n_bytes >> 3) >> self.sbits << self.sbits)
+        while shead != end:
+            for c, l in self._block_runs(shead):
+                if c == last_c:
+                    last_l += l
+                else:
+                    if last_l:
+                        yield last_c, last_l
+                    last_c, last_l = c, l
+            nxt = shead + self.ssize
+            if (nxt - self.data0) % RLD_LSIZE == 0:
+                pass  # superblocks are contiguous in the flat mapping
+            shead = nxt
+        if last_l:
+            yield last_c, last_l
+
+    def to_flat(self, K=256):
+        """Lift into a device-resident FlatBwt so the batched TPU query API
+        (engine/query.py) runs over a restored FMD.  Partition sizes come
+        from scanning run symbol positions against C(a) boundaries."""
+        import numpy as np
+
+        from ..index.flat import state_from_partition_runs
+
+        bounds = [self.cnt[a] for a in range(1, self.asize1)]
+        partition_runs = [[] for _ in range(self.asize)]
+        pos = 0
+        b = 0
+        for c, l in self.runs():
+            while l > 0:
+                while b < self.asize - 1 and pos >= bounds[b]:
+                    b += 1
+                take = min(l, bounds[b] - pos) if b < self.asize - 1 else l
+                partition_runs[b].append((c, take))
+                pos += take
+                l -= take
+        return state_from_partition_runs(partition_runs, K)
+
+
+def dec_enc(enc: FmdEncoder, run_iter, k):
+    """Take k symbols from a run stream and append them to an encoder —
+    the rld_dec_enc merge helper (rld0.h:119-135).  ``run_iter`` must be a
+    stateful iterator with push-back semantics provided by RunTap."""
+    while k > 0:
+        c, l = run_iter.next_run()
+        take = min(k, l)
+        enc.enc(take, c)
+        if l > take:
+            run_iter.push_back(c, l - take)
+        k -= take
+
+
+class RunTap:
+    """Stateful run-stream cursor with push-back — the rlditr_t pending-run
+    state (itr->c/itr->l) that rld_dec_enc manipulates."""
+
+    def __init__(self, runs):
+        self._it = iter(runs)
+        self._pending = None
+
+    def next_run(self):
+        if self._pending is not None:
+            p, self._pending = self._pending, None
+            return p
+        return next(self._it)
+
+    def push_back(self, c, l):
+        self._pending = (c, l)
+
+    def exhausted(self):
+        if self._pending is not None:
+            return False
+        try:
+            self._pending = next(self._it)
+            return False
+        except StopIteration:
+            return True
+
+
+def merge_fmd(readers, out):
+    """Interleaved merge of FMD files by symbol position is format-level
+    only meaningful with a rank-based merge plan; what rld_dec_enc enables
+    in fermi is stream-splicing runs between indexes.  This helper
+    re-encodes a sequence of (reader-or-runs, n_symbols) slices into one
+    FMD — the dec_enc workflow."""
+    enc = FmdEncoder(6, 3)
+    for src, k in readers:
+        runs = src.runs() if isinstance(src, FmdReader) else iter(src)
+        dec_enc(enc, RunTap(runs), k)
+    enc.finish()
+    enc.dump(out)
+    return enc
+
+
 def write_fmd(runs, out, log_summary=True):
     enc = FmdEncoder(6, 3)
     for c, l in runs:

@@ -150,3 +150,64 @@ def test_crlf_roundtrip(rng):
     assert np.frombuffer(tags["MC"], dtype="<i8").tolist() == [
         int(c) for c in eng.counts()
     ]
+
+
+def test_fmd_reader_lazy_rank_and_dec_enc(ref_binary, rng, tmp_path):
+    """FmdReader = rld_restore_mmap + rld_rank1a/2a + rld_dec_enc
+    (rld0.c:308-327, 357-471; rld0.h:119-135): lazy mmap reader over a
+    reference-written FMD, point ranks vs brute force, dec_enc re-encode
+    byte-identical, and device rank over the restored index."""
+    from ropebwt2_tpu.io.fmd import (
+        FmdEncoder,
+        FmdReader,
+        RunTap,
+        dec_enc,
+        read_fmd,
+    )
+
+    reads = random_reads(rng, 200, lo=8, hi=60)
+    fmd_path = tmp_path / "ref.fmd"
+    subprocess.run(
+        [ref_binary, "-LRd", "-o", str(fmd_path), "-"],
+        input=reads_to_lines(reads), check=True, capture_output=True,
+    )
+
+    r = FmdReader(str(fmd_path))
+    runs_eager, mcnt = read_fmd(str(fmd_path))
+    assert list(r.runs()) == runs_eager
+    assert r.mcnt == mcnt
+
+    bwt = np.concatenate(
+        [np.full(l, c, np.int8) for c, l in runs_eager]
+    )
+    n = len(bwt)
+    for k in [0, 1, n // 3, n // 2, n - 1, n]:
+        assert r.rank1a(k) == [(bwt[:k] == a).sum() for a in range(6)]
+    for k, l in [(0, 4), (n // 3, n // 3 + 1), (n // 4, 3 * n // 4)]:
+        ok, ol = r.rank2a(k, l)
+        assert ok == [(bwt[:k] == a).sum() for a in range(6)]
+        assert ol == [(bwt[:l] == a).sum() for a in range(6)]
+
+    # extend: sizes of the six sub-intervals partition the parent
+    out = r.extend((0, 0, n), is_back=True)
+    assert sum(o[2] for o in out) == n
+
+    # dec_enc: splicing the stream through an encoder in two arbitrary
+    # slices reproduces the reference file byte-for-byte
+    enc = FmdEncoder(6, 3)
+    tap = RunTap(r.runs())
+    dec_enc(enc, tap, n // 3)
+    dec_enc(enc, tap, n - n // 3)
+    enc.finish()
+    buf = io.BytesIO()
+    enc.dump(buf)
+    assert buf.getvalue() == fmd_path.read_bytes()
+
+    # restored FMD -> device FlatBwt -> batched rank parity
+    from ropebwt2_tpu.engine.query import rank1a
+
+    st = r.to_flat(K=16)
+    pts = np.array([0, 1, n // 2, n], np.int64)
+    occ = np.asarray(rank1a(st, pts))
+    for i, k in enumerate(pts):
+        assert list(occ[i]) == [(bwt[:k] == a).sum() for a in range(6)]
