@@ -39,7 +39,12 @@ from ..oracle import SO_IO, SO_RCLO, SO_RLO
 from ..index.flat import FlatBwt, empty_state, grow_state
 from ..index.merge import apply_insertions
 from ..index.rank import build_block_tables, rank_global
-from ..index.scan import cumsum_blocked, cumsum_small
+from ..index.scan import (
+    cummax_blocked,
+    cummin_blocked,
+    cumsum_blocked,
+    cumsum_small,
+)
 
 
 def _use_pallas_merge(cap: int, K: int) -> bool:
@@ -65,13 +70,18 @@ I32 = jnp.int32
 class ReadStates:
     """Per-read BCR state (the reference's triple64_t, mrope.c:174-178).
     Maintained in 'array order', re-permuted by the bucket sort each round.
-    Rows with slen < 0 are padding and stay inert at the array front."""
 
-    l: jax.Array  # int64[M] interval lower bound, local to partition c
-    u: jax.Array  # int64[M] interval upper bound
-    c: jax.Array  # int32[M] last inserted symbol = next insertion's partition
-    off: jax.Array  # int64[M] read start in the sequence buffer
-    slen: jax.Array  # int32[M] read length; < 0 for padding rows
+    The read's buffer offset and last-inserted symbol are PACKED into one
+    word ``pk = (off // 8) << 3 | c`` — read starts are 8-aligned in the
+    NUL-terminated sequence buffer, so three M-sized permutes (l, u, pk)
+    move the whole state each round instead of five.  pk < 0 marks padding
+    rows (they stay inert at the array front).  Read lengths are implicit:
+    the buffer stores a 0 terminator after each read, so the terminator
+    round inserts the sentinel and flips c to 0, which retires the row."""
+
+    l: jax.Array  # int[M] interval lower bound, local to partition c
+    u: jax.Array  # int[M] interval upper bound
+    pk: jax.Array  # int32[M] (int64 for >1 GB buffers) packed (off//8)<<3|c
 
 
 def _insertion_order(so):
@@ -101,27 +111,37 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     pdt = reads.l.dtype
     em = jnp.asarray(_insertion_order(so), dtype=I32)
     arange_m = jnp.arange(M, dtype=I32)
+    ar6 = jnp.arange(NSYM, dtype=I32)
 
     # ---- 1. stable counting sort by bucket (mrope.c:303-310) ----
-    dead = reads.slen < 0
-    key = jnp.where(dead, 0, reads.c)
-    onehot_key = (key[:, None] == jnp.arange(NSYM, dtype=I32)[None, :]).astype(
-        I32
-    )
+    # Gather-free formulation: every "x[idx]" over M rows is either a
+    # one-hot contraction (6-wide lookups) or a blocked prefix-scan
+    # propagation (head/tail lookups) — M-sized gathers cost milliseconds
+    # on TPU while the same data movement as vector select/scan passes
+    # costs tens of microseconds.
+    pk0 = reads.pk
+    dead0 = pk0 < 0
+    c0 = (pk0 & 7).astype(I32)  # 7 on padding rows
+    key = jnp.where(dead0, 0, c0)
+    onehot_key = (key[:, None] == ar6[None, :]).astype(I32)
     csum_key = cumsum_blocked(onehot_key)
     totals = csum_key[-1]
     base = jnp.concatenate([jnp.zeros(1, I32), cumsum_small(totals)[:-1]])
-    dest = base[key] + jnp.take_along_axis(
-        csum_key, key[:, None], axis=1
-    ).squeeze(1) - 1
-    perm = jnp.zeros(M, I32).at[dest].set(arange_m)
-
-    l = reads.l[perm]
-    u = reads.u[perm]
-    c = reads.c[perm]
-    off = reads.off[perm]
-    slen = reads.slen[perm]
-    dead = slen < 0
+    dest = (
+        jnp.sum(base[None, :] * onehot_key, axis=1, dtype=I32)
+        + jnp.sum(csum_key * onehot_key, axis=1, dtype=I32)
+        - 1
+    )
+    # move the payload with three direct scatters (dest is a permutation)
+    l = jnp.zeros(M, reads.l.dtype).at[dest].set(
+        reads.l, unique_indices=True
+    )
+    u = jnp.zeros(M, reads.u.dtype).at[dest].set(
+        reads.u, unique_indices=True
+    )
+    pk = jnp.zeros(M, pk0.dtype).at[dest].set(pk0, unique_indices=True)
+    dead = pk < 0
+    c = (pk & 7).astype(I32)
 
     # done: the sentinel was inserted in an earlier round (bucket 0). In the
     # very first round every real read is active with c == 0 (the first
@@ -130,12 +150,15 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     active = jnp.logical_not(inert)
 
     # ---- next symbol of each read (reads are stored reversed) ----
-    sym = jnp.where(
-        d < slen,
-        buf[jnp.clip(off + d, 0, buf.shape[0] - 1)].astype(I32),
-        0,
-    )
+    # buffer offsets are 8-aligned; the 0 terminator after each read makes
+    # the sentinel round implicit (and inert rows mask to 0 anyway)
+    off = (pk >> 3) * 8
+    sym = buf[jnp.clip(off + d, 0, buf.shape[0] - 1)].astype(I32)
     sym = jnp.where(active, sym, 0)
+    ohp = (sym[:, None] == ar6[None, :])  # (M,6) one-hot of sym
+
+    def take_sym(t):  # t[:, sym] without a gather
+        return jnp.sum(t * ohp.astype(t.dtype), axis=1, dtype=t.dtype)
 
     # ---- 2. groups: runs of equal (inert, bucket, u) ----
     tkey = c * 2 + inert.astype(I32)  # bucket + inert packed: one compare
@@ -143,8 +166,8 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     prev_u = jnp.roll(u, 1)
     bucket_head = (arange_m == 0) | (tkey != prev_tkey)
     head = bucket_head | (u != prev_u)
-    headidx = jax.lax.cummax(jnp.where(head, arange_m, 0))
-    bktheadidx = jax.lax.cummax(jnp.where(bucket_head, arange_m, 0))
+    headidx = cummax_blocked(jnp.where(head, arange_m, 0))
+    bktheadidx = cummax_blocked(jnp.where(bucket_head, arange_m, 0))
 
     # Stored intervals are in PROGRESSIVE coordinates (the reference inserts
     # group by group; a group's stored position already counts every
@@ -170,16 +193,24 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
             cumsum_small(pcounts, axis=0)[:-1],
         ]
     ).astype(pdt)  # pprefix[b, s] = count of s in partitions < b
-    gLq = poff[c] + L
-    TL = rank_fn(gLq) - pprefix[c]
+    # 6-row table lookups as select-sums (exact in any int dtype)
+    ohc = c[:, None] == ar6[None, :]
+    poc = jnp.sum(jnp.where(ohc, poff[None, :], 0), axis=1, dtype=pdt)
+    pprefix_c = jnp.zeros((M, NSYM), pdt)
+    for b in range(NSYM):
+        pprefix_c = jnp.where(
+            (c == b)[:, None], pprefix[b][None, :], pprefix_c
+        )
+    gLq = poc + L
+    TL = rank_fn(gLq) - pprefix_c
     if so == SO_IO:
         # input order keeps every interval empty (l == u by induction:
         # mr_insert1's l==u path and singleton groups) — skip the second
         # rank query, delta is identically zero
         delta = jnp.zeros_like(TL)
     else:
-        gUq = poff[c] + U
-        TU = rank_fn(gUq) - pprefix[c]
+        gUq = poc + U
+        TU = rank_fn(gUq) - pprefix_c
         delta = TU - TL  # (M,6): per-symbol count inside the interval
 
     # ---- 4. insertion points per symbol, start-of-round local coords ----
@@ -192,44 +223,28 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
         running = running + delta[:, s]
     X = jnp.stack(xcols, axis=1)  # (M,6)
 
-    take_sym = lambda t: jnp.take_along_axis(  # noqa: E731
-        t, sym[:, None].astype(I32), axis=1
-    ).squeeze(1)
-
-    gX = poff[c] + take_sym(X)  # global old-coord insertion point per read
+    gX = poc + take_sym(X)  # global old-coord insertion point per read
 
     # ---- per-row / per-group combinatorics ----
-    oh = (sym[:, None] == jnp.arange(NSYM, dtype=I32)[None, :]) & active[
-        :, None
-    ]
+    oh = ohp & active[:, None]
     oh32 = oh.astype(I32)
     csum = cumsum_blocked(oh32)  # inclusive
     excl = csum - oh32
 
-    # cross-row lookups as flattened single-value gathers: a full (M,6) row
-    # gather moves ~6x the data of the one value actually consumed, and
-    # M-sized gathers dominate the plan phase on TPU
-    hsym = headidx * NSYM + sym
-    flat_excl = excl.reshape(-1)
-    g_head = flat_excl[hsym]  # excl[headidx, sym]
-    g_bkt = flat_excl[bktheadidx * NSYM + sym]
+    # head/bucket-head values of the non-decreasing count columns,
+    # propagated to every row by a blocked prefix-max (row 0 is always a
+    # head, and the columns are >= 0, so a 0 fill is the identity)
+    head_excl = cummax_blocked(jnp.where(head[:, None], excl, 0))
+    bkt_excl = cummax_blocked(jnp.where(bucket_head[:, None], excl, 0))
     # my-symbol insertions by earlier groups of my bucket
-    P_sym = (g_head - g_bkt).astype(pdt)
-
-    # group tail index = next head - 1 (groups are contiguous runs)
-    nexthead = jax.lax.cummin(
-        jnp.where(head, arange_m, M), reverse=True
-    )  # first head index >= i (M if none)
-    tailidx = jnp.clip(
-        jnp.concatenate([nexthead[1:], jnp.full((1,), M, I32)]) - 1,
-        0,
-        M - 1,
-    )
+    P_sym = take_sym(head_excl - bkt_excl).astype(pdt)
 
     # before_in_group = sum_s (csum[tail,s] - excl[head,s]) * em_lt[sym,s]:
-    # precontract the 6-wide axis on the MXU so only single values are
-    # gathered (exact in f32 while 6M < 2^24)
+    # precontract the 6-wide axis on the MXU (exact in f32 while M < 2^21),
+    # then propagate tail values backward with a reverse prefix-min (the
+    # columns are non-decreasing and the last row is always a tail)
     em_lt = (em[None, :] < em[:, None]).astype(I32)  # em_lt[a, b] = em_b < em_a
+    is_tail = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
     if M <= (1 << 21):
         emf = em_lt.astype(jnp.float32)
         Wc = jnp.einsum(
@@ -238,19 +253,29 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
         We = jnp.einsum(
             "ms,ts->mt", excl.astype(jnp.float32), emf
         ).astype(I32)
-        before_in_group = (
-            Wc.reshape(-1)[tailidx * NSYM + sym] - We.reshape(-1)[hsym]
+        Wc_tail = cummin_blocked(
+            jnp.where(is_tail[:, None], Wc, jnp.iinfo(I32).max),
+            reverse=True,
         )
+        We_head = cummax_blocked(jnp.where(head[:, None], We, 0))
+        before_in_group = take_sym(Wc_tail - We_head)
     else:
-        cnt_row = csum[tailidx] - excl[headidx]  # (M,6) group totals
-        before_in_group = jnp.sum(cnt_row * em_lt[sym], axis=1)
+        csum_tail = cummin_blocked(
+            jnp.where(is_tail[:, None], csum, jnp.iinfo(I32).max),
+            reverse=True,
+        )
+        cnt_row = csum_tail - head_excl  # (M,6) group totals
+        before_in_group = jnp.sum(
+            cnt_row
+            * jnp.sum(jnp.where(ohp[:, :, None], em_lt[None], 0), axis=1),
+            axis=1,
+            dtype=I32,
+        )
 
     # per-bucket inserted-symbol totals: a 6xM one-hot contraction (MXU)
     # instead of a scatter-add into 6 segments
     if M <= (1 << 24):  # f32 accumulation exact up to 2^24
-        bucket_oh = (
-            jnp.arange(NSYM, dtype=I32)[:, None] == c[None, :]
-        ) & active[None, :]
+        bucket_oh = ohc.T & active[None, :]
         ins_bucket = jnp.einsum(
             "bm,ms->bs",
             bucket_oh.astype(jnp.float32),
@@ -268,7 +293,7 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     ).astype(pdt)  # (6,6): counts of s in partitions < b after this round
 
     # ---- global tie rank (stream index) of each read's insertion ----
-    rank_in_run = take_sym(excl) - g_head
+    rank_in_run = take_sym(excl - head_excl)
     n_inert = jnp.sum(inert, dtype=I32)
     stream = (
         (headidx - n_inert).astype(pdt)
@@ -277,18 +302,18 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     )
 
     # ---- interval update (+ fused cross-bucket rebase) ----
-    l_new = (
-        take_sym(TL)
-        + P_sym
-        + ac_excl.reshape(-1)[c * NSYM + sym]  # ac_excl[c, sym]
-    )
+    ac_c = jnp.zeros((M, NSYM), pdt)
+    for b in range(NSYM):
+        ac_c = jnp.where((c == b)[:, None], ac_excl[b][None, :], ac_c)
+    l_new = take_sym(TL) + P_sym + take_sym(ac_c)
     u_new = l_new + take_sym(delta)
     l = jnp.where(active, l_new, l)
     u = jnp.where(active, u_new, u)
-    c = jnp.where(active, sym, c)
+    # fold the inserted symbol into the packed word (pk & -8 keeps off<<3)
+    pk = jnp.where(active, (pk & ~jnp.asarray(7, pk.dtype)) | sym.astype(pk.dtype), pk)
 
     n_ins = jnp.sum(active.astype(I64))
-    new_reads = ReadStates(l=l, u=u, c=c, off=off, slen=slen)
+    new_reads = ReadStates(l=l, u=u, pk=pk)
     return new_reads, gX, sym, stream, active, ins_bucket, n_ins
 
 
@@ -394,7 +419,11 @@ class TpuBwt:
     def insert_multi(self, reads, already_reversed=False):
         """Insert a batch of reads column-by-column.  ``reads`` are nt6 code
         arrays; unless ``already_reversed``, they are in ORIGINAL orientation
-        and reversal (main.c:200-203) happens here."""
+        and reversal (main.c:200-203) happens here.
+
+        The device buffer stores each read 8-aligned with a 0 terminator
+        (the ReadStates.pk packing requires aligned starts, and the
+        terminator makes the sentinel round implicit)."""
         m = len(reads)
         if m == 0:
             return
@@ -408,35 +437,39 @@ class TpuBwt:
 
         mpad = _pad_pow2(m)
         npad = mpad - m
-        bufcap = _pad_pow2(int(lens.sum()) + 1, lo=64)
-        buf = np.zeros(bufcap, dtype=np.int8)
         off = np.zeros(mpad, dtype=np.int64)
-        slen = np.full(mpad, -1, dtype=np.int32)
         if uniform:  # vectorized fast path for equal-length read matrices
             ln = reads.shape[1]
+            stride = _round_up(ln + 1, 8)
+            bufcap = _pad_pow2(m * stride, lo=64)
+            buf = np.zeros(bufcap, dtype=np.int8)
             mat = reads.astype(np.int8, copy=False)
             if not already_reversed:
                 mat = mat[:, ::-1]
-            buf[: m * ln] = mat.ravel()
-            off[npad:] = np.arange(m, dtype=np.int64) * ln
-            slen[npad:] = ln
+            buf.reshape(-1, 8)[: m * stride // 8].reshape(m, stride)[
+                :, :ln
+            ] = mat
+            off[npad:] = np.arange(m, dtype=np.int64) * stride
         else:
-            pos = 0
+            strides = np.asarray(
+                [_round_up(len(r) + 1, 8) for r in reads], dtype=np.int64
+            )
+            starts = np.concatenate([[0], np.cumsum(strides)[:-1]])
+            bufcap = _pad_pow2(int(strides.sum()), lo=64)
+            buf = np.zeros(bufcap, dtype=np.int8)
             for i, r in enumerate(reads):
                 rv = np.asarray(r, dtype=np.int8)
                 if not already_reversed:
                     rv = rv[::-1]
-                buf[pos : pos + len(rv)] = rv
-                off[npad + i] = pos
-                slen[npad + i] = len(rv)
-                pos += len(rv)
-
-        self._run_batch(buf, off, slen, m, total, int(lens.max()))
+                buf[starts[i] : starts[i] + len(rv)] = rv
+            off[npad:] = starts
+        self._run_batch(buf, off, m, total, int(lens.max()))
 
     def insert_nul_batch(self, nulbuf: np.ndarray):
         """Insert a batch given as a buffer of NUL-terminated, insertion-
         oriented strings — the exact shape of the reference's -m batch
-        buffer (mrope.c:269-277) and of the native reader's output."""
+        buffer (mrope.c:269-277) and of the native reader's output.  The
+        strings are re-packed to 8-aligned starts for the pk layout."""
         nulbuf = np.ascontiguousarray(nulbuf).view(np.int8)
         ends = np.flatnonzero(nulbuf == 0)
         m = len(ends)
@@ -446,31 +479,36 @@ class TpuBwt:
         assert ends[-1] == total - 1, "batch must end with a terminator"
         self._plan(total)
         starts = np.concatenate([[0], ends[:-1] + 1]).astype(np.int64)
-        lens = (ends - starts).astype(np.int32)
+        lens = (ends - starts).astype(np.int64)
 
         mpad = _pad_pow2(m)
         npad = mpad - m
-        bufcap = _pad_pow2(total, lo=64)
+        strides = (lens + 8) & ~np.int64(7)  # round_up(len+1, 8)
+        astarts = np.concatenate([[0], np.cumsum(strides)[:-1]])
+        bufcap = _pad_pow2(int(strides.sum()), lo=64)
         buf = np.zeros(bufcap, dtype=np.int8)
-        buf[:total] = nulbuf
+        # scatter the whole NUL-delimited batch into the aligned layout in
+        # one vectorized move (terminators included)
+        dst = (astarts - starts).repeat(lens + 1) + np.arange(
+            total, dtype=np.int64
+        )
+        buf[dst] = nulbuf
         off = np.zeros(mpad, dtype=np.int64)
-        slen = np.full(mpad, -1, dtype=np.int32)
-        off[npad:] = starts
-        slen[npad:] = lens
-        self._run_batch(buf, off, slen, m, total, int(lens.max()))
+        off[npad:] = astarts
+        self._run_batch(buf, off, m, total, int(lens.max()))
 
-    def _run_batch(self, buf, off, slen, m, total, max_len):
+    def _run_batch(self, buf, off, m, total, max_len):
         mpad = off.shape[0]
         npad = mpad - m
         n_sent = self._n_strings
         # int64 vector arithmetic is ~10x slower on TPU: use int32 positions
         # whenever the planned capacity (and the read buffer) fit
-        pdt = (
-            np.int32
-            if self.state.cap < (1 << 31) - 1 and buf.shape[0] < (1 << 31)
-            else np.int64
-        )
-        off = off.astype(pdt)
+        pdt = np.int32 if self.state.cap < (1 << 31) - 1 else np.int64
+        pkdt = np.int32 if buf.shape[0] <= (1 << 30) else np.int64
+        # pk = (off // 8) << 3 | c, with c = 0 initially; pk < 0 marks the
+        # padding rows (they point nowhere and never activate)
+        pk = np.full(mpad, -1, dtype=pkdt)
+        pk[npad:] = off[npad:]  # off is 8-aligned: off == (off//8)<<3
         l = np.zeros(mpad, dtype=pdt)
         u = np.zeros(mpad, dtype=pdt)
         if self.so == SO_IO:
@@ -481,9 +519,7 @@ class TpuBwt:
         rs = ReadStates(
             l=jnp.asarray(l),
             u=jnp.asarray(u),
-            c=jnp.zeros(mpad, dtype=I32),
-            off=jnp.asarray(off),
-            slen=jnp.asarray(slen),
+            pk=jnp.asarray(pk),
         )
         jbuf = jnp.asarray(buf)
 

@@ -30,6 +30,74 @@ def cumsum_small(x, axis=0):
     return x
 
 
+def _cummax_small(x, axis=0, reverse=False, op=jnp.maximum):
+    """Inclusive prefix max (min with op=jnp.minimum) via Hillis-Steele
+    shift-combines — avoids XLA's slow reduce-window cumulative lowering."""
+    n = x.shape[axis]
+    shift = 1
+    while shift < n:
+        sl = [slice(None)] * x.ndim
+        if reverse:
+            sl[axis] = slice(shift, n)
+            shifted = x[tuple(sl)]
+            keep = [slice(None)] * x.ndim
+            keep[axis] = slice(0, n - shift)
+            upd = op(x[tuple(keep)], shifted)
+            x = jnp.concatenate(
+                [upd, x[tuple([slice(None)] * (axis) + [slice(n - shift, n)])]],
+                axis=axis,
+            )
+        else:
+            sl[axis] = slice(0, n - shift)
+            shifted = x[tuple(sl)]
+            keep = [slice(None)] * x.ndim
+            keep[axis] = slice(shift, n)
+            upd = op(x[tuple(keep)], shifted)
+            x = jnp.concatenate(
+                [x[tuple([slice(None)] * (axis) + [slice(0, shift)])], upd],
+                axis=axis,
+            )
+        shift <<= 1
+    return x
+
+
+def cummax_blocked(x, reverse=False, op=None):
+    """Inclusive prefix max along axis 0 of (M,) or (M, C) integer arrays;
+    reverse=True scans from the end (suffix max).  Two-level: Hillis-Steele
+    within 256-element windows vectorized across windows, then a recursive
+    scan of window totals — much faster than XLA's reduce-window chain for
+    M-sized operands on TPU.  Pass op=jnp.minimum for cummin."""
+    if op is None:
+        op = jnp.maximum
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    m, c = x.shape
+    if m <= _LEAF or m % _B != 0:
+        out = _cummax_small(x, axis=0, reverse=reverse, op=op)
+        return out[:, 0] if squeeze else out
+    nb = m // _B
+    xb = x.reshape(nb, _B, c)
+    inner = _cummax_small(xb, axis=1, reverse=reverse, op=op)
+    totals = inner[:, 0 if reverse else -1, :]  # (nb, c)
+    tot_scan = cummax_blocked(totals, reverse=reverse, op=op)
+    info = jnp.iinfo(x.dtype)
+    ident = jnp.full((1, c), info.min if op is jnp.maximum else info.max,
+                     x.dtype)
+    # window w combines with the scan of totals strictly before (after) it;
+    # the first (last) window combines with the identity
+    if reverse:
+        bases = jnp.concatenate([tot_scan[1:], ident])
+    else:
+        bases = jnp.concatenate([ident, tot_scan[:-1]])
+    out = op(inner, bases[:, None, :]).reshape(m, c)
+    return out[:, 0] if squeeze else out
+
+
+def cummin_blocked(x, reverse=False):
+    return cummax_blocked(x, reverse=reverse, op=jnp.minimum)
+
+
 def cumsum_blocked(x, exact=False):
     """Inclusive prefix sum along axis 0 of an integer array shaped (M,) or
     (M, C).  M must be a multiple of 256 unless M <= leaf size.

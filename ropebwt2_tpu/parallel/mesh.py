@@ -50,7 +50,5 @@ def shard_reads(reads, mesh, axis="shard"):
         reads,
         l=jax.device_put(reads.l, s_dp),
         u=jax.device_put(reads.u, s_dp),
-        c=jax.device_put(reads.c, s_dp),
-        off=jax.device_put(reads.off, s_dp),
-        slen=jax.device_put(reads.slen, s_dp),
+        pk=jax.device_put(reads.pk, s_dp),
     )

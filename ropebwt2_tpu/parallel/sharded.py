@@ -151,7 +151,7 @@ def sharded_bcr_batch(state, reads, buf, n_rounds, *, K, so, lcap, mesh):
     state_specs = ShardedBwt(
         bwt=shard, blk_prefix=shard, n=rep, psize=rep, pcounts=rep
     )
-    read_specs = ReadStates(l=rep, u=rep, c=rep, off=rep, slen=rep)
+    read_specs = ReadStates(l=rep, u=rep, pk=rep)
     fn = shard_map(
         functools.partial(sharded_bcr_batch_impl, K=K, so=so, lcap=lcap),
         mesh=mesh,
@@ -233,19 +233,19 @@ class ShardedTpuBwt:
         npad = mpad - m
         if mpad > self._lcap:  # drift guard: one round inserts <= mpad
             self._plan(self._n + total + mpad * self.d)
-        bufcap = _pad_pow2(int(lens.sum()) + 1, lo=64)
+        strides = np.asarray(
+            [_round_up(len(r) + 1, 8) for r in reads], dtype=np.int64
+        )
+        starts = np.concatenate([[0], np.cumsum(strides)[:-1]])
+        bufcap = _pad_pow2(int(strides.sum()), lo=64)
         buf = np.zeros(bufcap, dtype=np.int8)
-        off = np.zeros(mpad, dtype=np.int64)
-        slen = np.full(mpad, -1, dtype=np.int32)
-        pos = 0
         for i, r in enumerate(reads):
             rv = np.asarray(r, dtype=np.int8)
             if not already_reversed:
                 rv = rv[::-1]
-            buf[pos : pos + len(rv)] = rv
-            off[npad + i] = pos
-            slen[npad + i] = len(rv)
-            pos += len(rv)
+            buf[starts[i] : starts[i] + len(rv)] = rv
+        pk = np.full(mpad, -1, dtype=np.int64)
+        pk[npad:] = starts  # 8-aligned: off == (off//8)<<3, c = 0
         l = np.zeros(mpad, dtype=np.int64)
         u = np.zeros(mpad, dtype=np.int64)
         if self.so == SO_IO:
@@ -257,9 +257,7 @@ class ShardedTpuBwt:
         rs = ReadStates(
             l=jax.device_put(jnp.asarray(l), rep),
             u=jax.device_put(jnp.asarray(u), rep),
-            c=jax.device_put(jnp.zeros(mpad, I32), rep),
-            off=jax.device_put(jnp.asarray(off), rep),
-            slen=jax.device_put(jnp.asarray(slen), rep),
+            pk=jax.device_put(jnp.asarray(pk), rep),
         )
         jbuf = jax.device_put(jnp.asarray(buf), rep)
         self.state, _ = sharded_bcr_batch(
