@@ -37,6 +37,7 @@ def inner():
     L = int(os.environ.get("BENCH_L", 101))
     so = int(os.environ.get("BENCH_SO", 1))
     runs = int(os.environ.get("BENCH_RUNS", 3))
+    K = int(os.environ.get("BENCH_K", 128))  # 128 measures ~4% faster than 256
 
     import jax
 
@@ -52,7 +53,7 @@ def inner():
     devs = f"{dev.platform}:{dev.device_kind}"
 
     def run():
-        eng = TpuBwt(so=so)
+        eng = TpuBwt(so=so, K=K)
         t0 = time.time()
         eng.insert_multi(reads)
         # a real device->host transfer is the only trustworthy sync point on

@@ -166,8 +166,18 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     prev_u = jnp.roll(u, 1)
     bucket_head = (arange_m == 0) | (tkey != prev_tkey)
     head = bucket_head | (u != prev_u)
-    headidx = cummax_blocked(jnp.where(head, arange_m, 0))
-    bktheadidx = cummax_blocked(jnp.where(bucket_head, arange_m, 0))
+    # one stacked scan for both head-index propagations (scan passes, not
+    # widths, dominate the cost of these blocked prefix ops)
+    hh = cummax_blocked(
+        jnp.stack(
+            [
+                jnp.where(head, arange_m, 0),
+                jnp.where(bucket_head, arange_m, 0),
+            ],
+            axis=1,
+        )
+    )
+    headidx, bktheadidx = hh[:, 0], hh[:, 1]
 
     # Stored intervals are in PROGRESSIVE coordinates (the reference inserts
     # group by group; a group's stored position already counts every
@@ -193,14 +203,36 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
             cumsum_small(pcounts, axis=0)[:-1],
         ]
     ).astype(pdt)  # pprefix[b, s] = count of s in partitions < b
-    # 6-row table lookups as select-sums (exact in any int dtype)
     ohc = c[:, None] == ar6[None, :]
-    poc = jnp.sum(jnp.where(ohc, poff[None, :], 0), axis=1, dtype=pdt)
-    pprefix_c = jnp.zeros((M, NSYM), pdt)
-    for b in range(NSYM):
-        pprefix_c = jnp.where(
-            (c == b)[:, None], pprefix[b][None, :], pprefix_c
+    if pdt == I32:
+        # 6-row table lookups as two exact f32 MXU contractions (values
+        # < 2^31 split 12 low / 19 high bits; one-hot selection keeps each
+        # product exact) — cheaper than six (M,6)-wide select passes
+        ohf = ohc.astype(jnp.float32)
+
+        def sel_rows(table):  # table (6, S) int32 -> (M, S) rows[c]
+            lo = jnp.einsum(
+                "mb,bs->ms", ohf, (table & 0xFFF).astype(jnp.float32)
+            )
+            hi = jnp.einsum(
+                "mb,bs->ms", ohf, (table >> 12).astype(jnp.float32)
+            )
+            return (hi.astype(I32) << 12) + lo.astype(I32)
+
+        sel = sel_rows(
+            jnp.concatenate([pprefix, poff[:, None]], axis=1)
         )
+        pprefix_c, poc = sel[:, :NSYM], sel[:, NSYM]
+    else:
+
+        def sel_rows(table):  # int64 path: six select passes stay exact
+            out = jnp.zeros((M, table.shape[1]), pdt)
+            for b in range(NSYM):
+                out = jnp.where((c == b)[:, None], table[b][None, :], out)
+            return out
+
+        poc = jnp.sum(jnp.where(ohc, poff[None, :], 0), axis=1, dtype=pdt)
+        pprefix_c = sel_rows(pprefix)
     gLq = poc + L
     TL = rank_fn(gLq) - pprefix_c
     if so == SO_IO:
@@ -233,12 +265,9 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
 
     # head/bucket-head values of the non-decreasing count columns,
     # propagated to every row by a blocked prefix-max (row 0 is always a
-    # head, and the columns are >= 0, so a 0 fill is the identity)
-    head_excl = cummax_blocked(jnp.where(head[:, None], excl, 0))
-    bkt_excl = cummax_blocked(jnp.where(bucket_head[:, None], excl, 0))
-    # my-symbol insertions by earlier groups of my bucket
-    P_sym = take_sym(head_excl - bkt_excl).astype(pdt)
-
+    # head, and the columns are >= 0, so a 0 fill is the identity).  All
+    # forward head-propagations ride ONE stacked scan — pass count, not
+    # width, dominates blocked-scan cost.
     # before_in_group = sum_s (csum[tail,s] - excl[head,s]) * em_lt[sym,s]:
     # precontract the 6-wide axis on the MXU (exact in f32 while M < 2^21),
     # then propagate tail values backward with a reverse prefix-min (the
@@ -253,13 +282,34 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
         We = jnp.einsum(
             "ms,ts->mt", excl.astype(jnp.float32), emf
         ).astype(I32)
+        fwd = cummax_blocked(
+            jnp.concatenate(
+                [
+                    jnp.where(head[:, None], excl, 0),
+                    jnp.where(bucket_head[:, None], excl, 0),
+                    jnp.where(head[:, None], We, 0),
+                ],
+                axis=1,
+            )
+        )
+        head_excl, bkt_excl = fwd[:, :NSYM], fwd[:, NSYM : 2 * NSYM]
+        We_head = fwd[:, 2 * NSYM :]
         Wc_tail = cummin_blocked(
             jnp.where(is_tail[:, None], Wc, jnp.iinfo(I32).max),
             reverse=True,
         )
-        We_head = cummax_blocked(jnp.where(head[:, None], We, 0))
         before_in_group = take_sym(Wc_tail - We_head)
     else:
+        fwd = cummax_blocked(
+            jnp.concatenate(
+                [
+                    jnp.where(head[:, None], excl, 0),
+                    jnp.where(bucket_head[:, None], excl, 0),
+                ],
+                axis=1,
+            )
+        )
+        head_excl, bkt_excl = fwd[:, :NSYM], fwd[:, NSYM:]
         csum_tail = cummin_blocked(
             jnp.where(is_tail[:, None], csum, jnp.iinfo(I32).max),
             reverse=True,
@@ -271,6 +321,8 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
             axis=1,
             dtype=I32,
         )
+    # my-symbol insertions by earlier groups of my bucket
+    P_sym = take_sym(head_excl - bkt_excl).astype(pdt)
 
     # per-bucket inserted-symbol totals: a 6xM one-hot contraction (MXU)
     # instead of a scatter-add into 6 segments
@@ -302,9 +354,7 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     )
 
     # ---- interval update (+ fused cross-bucket rebase) ----
-    ac_c = jnp.zeros((M, NSYM), pdt)
-    for b in range(NSYM):
-        ac_c = jnp.where((c == b)[:, None], ac_excl[b][None, :], ac_c)
+    ac_c = sel_rows(ac_excl)
     l_new = take_sym(TL) + P_sym + take_sym(ac_c)
     u_new = l_new + take_sym(delta)
     l = jnp.where(active, l_new, l)
@@ -374,6 +424,28 @@ def bcr_batch_impl(state, reads, buf, n_rounds, *, K, so):
 bcr_batch = functools.partial(
     jax.jit, static_argnames=("K", "so"), donate_argnums=(0, 1)
 )(bcr_batch_impl)
+
+
+def bcr_batch_packed_impl(state, meta, pbuf, *, K, so, mpad):
+    """bcr_batch with host->device traffic minimized for the tunneled-TPU
+    deployment (~84 MB/s, ~30 ms RTT measured): the read buffer arrives
+    nibble-packed (two nt6 symbols per byte) and the whole read state plus
+    the round count ride ONE int32 array ``meta = [n_rounds, l, u, pk]``."""
+    n_rounds = meta[0].astype(I64)
+    reads = ReadStates(
+        l=meta[1 : 1 + mpad],
+        u=meta[1 + mpad : 1 + 2 * mpad],
+        pk=meta[1 + 2 * mpad : 1 + 3 * mpad],
+    )
+    # unpack nibbles: high nibble is the even position (values <= 6, so the
+    # int8 stays positive and shifts are exact)
+    buf = jnp.stack([pbuf >> 4, pbuf & 0xF], axis=1).reshape(-1)
+    return bcr_batch_impl(state, reads, buf, n_rounds, K=K, so=so)
+
+
+bcr_batch_packed = functools.partial(
+    jax.jit, static_argnames=("K", "so", "mpad"), donate_argnums=(0,)
+)(bcr_batch_packed_impl)
 
 
 def _round_up(x, m):
@@ -516,21 +588,41 @@ class TpuBwt:
             u[npad:] = l[npad:]
         else:
             u[npad:] = n_sent
-        rs = ReadStates(
-            l=jnp.asarray(l),
-            u=jnp.asarray(u),
-            pk=jnp.asarray(pk),
-        )
-        jbuf = jnp.asarray(buf)
-
-        state, _ = bcr_batch(
-            self.state,
-            rs,
-            jbuf,
-            jnp.asarray(max_len + 1, dtype=I64),
-            K=self.K,
-            so=self.so,
-        )
+        if (
+            pdt == np.int32
+            and pkdt == np.int32
+            and os.environ.get("ROPEBWT2_TPU_PACKED", "1") != "0"
+        ):
+            # tunneled-TPU fast path: ~84 MB/s host->device, so halve the
+            # buffer (nibble pack) and ride state + round count on ONE array
+            meta = np.empty(1 + 3 * mpad, np.int32)
+            meta[0] = max_len + 1
+            meta[1 : 1 + mpad] = l
+            meta[1 + mpad : 1 + 2 * mpad] = u
+            meta[1 + 2 * mpad : 1 + 3 * mpad] = pk
+            pbuf = (buf[0::2] << 4) | buf[1::2]  # values <= 6: stays exact
+            state, _ = bcr_batch_packed(
+                self.state,
+                jnp.asarray(meta),
+                jnp.asarray(pbuf),
+                K=self.K,
+                so=self.so,
+                mpad=mpad,
+            )
+        else:
+            rs = ReadStates(
+                l=jnp.asarray(l),
+                u=jnp.asarray(u),
+                pk=jnp.asarray(pk),
+            )
+            state, _ = bcr_batch(
+                self.state,
+                rs,
+                jnp.asarray(buf),
+                jnp.asarray(max_len + 1, dtype=I64),
+                K=self.K,
+                so=self.so,
+            )
         self.state = state
         self._n += total
         self._n_strings += m
@@ -548,8 +640,10 @@ class TpuBwt:
         return self._n
 
     def counts(self):
-        """Global per-symbol counts ($,A,C,G,T,N), like mr_get_c."""
-        return np.asarray(self.state.pcounts.sum(axis=0))
+        """Global per-symbol counts ($,A,C,G,T,N), like mr_get_c.  One
+        device->host pull (the reduction runs on the host: an extra eager
+        device op costs a full tunnel round trip)."""
+        return np.asarray(self.state.pcounts).sum(axis=0)
 
     def bwt_array(self) -> np.ndarray:
         """The full BWT as an int8 numpy array (host transfer)."""

@@ -341,17 +341,14 @@ def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
         (sym + 1).astype(jnp.int8), mode="drop", unique_indices=True
     )
 
-    # per-block insertion-count prefix: stream-ordered destinations are
-    # sorted, so block bounds come from one searchsorted
-    stream_idx = jnp.where(valid, stream, m + B)  # invalid -> OOB -> dropped
-    dest_s = jnp.full((m + B,), trash, pdt)
-    dest_s = dest_s.at[stream_idx].set(
-        dest_masked, mode="drop", unique_indices=True
+    # per-block insertion-count prefix: histogram destinations by block
+    # with one scatter-add, then an exclusive cumsum over the (small) block
+    # axis — replaces the former compact-scatter + searchsorted pair
+    blk_of_ins = jnp.where(valid, (dest // B).astype(I32), nb)
+    blk_cnts = jnp.zeros((nb,), I32).at[blk_of_ins].add(1, mode="drop")
+    start_ins = jnp.concatenate(
+        [jnp.zeros(1, I32), cumsum_blocked(blk_cnts)]
     )
-    bounds = jnp.arange(nb + 1, dtype=pdt) * B
-    start_ins = jnp.searchsorted(
-        dest_s[:m], bounds, side="left"
-    ).astype(I32)
     if n is None:
         nsb_active = jnp.asarray(cap // (SUPER * B), I32)
     else:

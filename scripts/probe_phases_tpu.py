@@ -14,7 +14,7 @@ from ropebwt2_tpu.oracle import SO_RLO
 M = int(os.environ.get("PROBE_M", 1 << 17))
 L = 101
 CAP = 1 << 24
-K = 256
+K = int(os.environ.get("PROBE_K", 256))
 rng = np.random.default_rng(0)
 
 dev = jax.devices()[0]

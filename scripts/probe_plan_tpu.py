@@ -14,7 +14,7 @@ from ropebwt2_tpu.oracle import SO_RLO
 M = 1 << 17
 L = 101
 CAP = 1 << 24
-K = 256
+K = int(os.environ.get("PROBE_K", 256))
 rng = np.random.default_rng(0)
 
 dev = jax.devices()[0]
@@ -89,5 +89,21 @@ def timeit(name, jf):
     per = (t_of(RHI) - t_of(RLO_)) / (RHI - RLO_)
     print(f"PLAN {name} {per*1e3:.2f} ms", flush=True)
 
+def mk_rank_chain():
+    @jax.jit
+    def chain(rd, r):
+        def body(i, rd):
+            g = jnp.clip(rd.l + i, 0, n0)
+            o1 = rank_global(state.bwt, state.blk_prefix, g, K)
+            o2 = rank_global(state.bwt, state.blk_prefix,
+                             jnp.clip(rd.u + i, 0, n0), K)
+            return dataclasses.replace(
+                rd, l=wrap(rd.l + (o1[:, 1] & 3)), u=wrap(rd.u + (o2[:, 2] & 3))
+            )
+        out = jax.lax.fori_loop(0, r, body, rd)
+        return out.l[0] + out.u[0]
+    return chain
+
+timeit("rank2q_only", mk_rank_chain())
 timeit("plan_norank", mk_chain("stub"))
 timeit("plan_full", mk_chain("real"))

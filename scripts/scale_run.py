@@ -1,0 +1,111 @@
+"""Gsym-scale single-chip capability run (VERDICT item 4).
+
+Builds the BWT of SCALE_NREADS x SCALE_L random reads (default 10.4M x 101bp
+= 1.06 Gsym with sentinels) on the attached TPU chip in SCALE_MBATCH-read
+batches, printing per-batch wall times and cumulative throughput, and writes
+the result JSON to SCALE_r02.json at the repo root.
+
+Self-checks: final symbol counts (sentinels == #reads, total == Gsym), and
+an FM-query spot check (backward_search of sampled read substrings must hit
+at least the planted multiplicity).  Full byte parity vs the reference
+binary at this scale is impractical on the 4-core host (hours); parity is
+covered up to ~64 Msym by tests/test_scale_parity.py and the md5 recipe in
+PARITY.md — this script proves capacity + throughput.
+
+Env: SCALE_NREADS (default 10_485_760), SCALE_L (101), SCALE_MBATCH
+(default 2^21), SCALE_SO (1=RLO), SCALE_JSON (output path).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    nreads = int(os.environ.get("SCALE_NREADS", 10_485_760))
+    L = int(os.environ.get("SCALE_L", 101))
+    mbatch = int(os.environ.get("SCALE_MBATCH", 1 << 21))
+    so = int(os.environ.get("SCALE_SO", 1))
+    out_path = os.environ.get(
+        "SCALE_JSON",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "SCALE_r02.json"),
+    )
+
+    import jax
+    from ropebwt2_tpu.engine import TpuBwt
+
+    dev = jax.devices()[0]
+    total_syms = nreads * (L + 1)
+    print(f"[scale] {nreads} reads x {L} bp = {total_syms/1e9:.3f} Gsym "
+          f"on {dev.platform}:{dev.device_kind}, batches of {mbatch}",
+          flush=True)
+
+    eng = TpuBwt(so=so)
+    eng._plan(total_syms)  # allocate final capacity once (no regrowth copies)
+    print(f"[scale] capacity {eng.state.cap/1e9:.3f} Gsym "
+          f"(pos dtype {'int32' if eng.state.cap < (1 << 31) - 1 else 'int64'})",
+          flush=True)
+
+    rng = np.random.default_rng(12345)
+    t0 = time.time()
+    batch_walls = []
+    done = 0
+    while done < nreads:
+        m = min(mbatch, nreads - done)
+        reads = rng.integers(1, 5, size=(m, L)).astype(np.int8)
+        tb = time.time()
+        eng.insert_multi(reads)
+        # force completion: device->host transfer is the only reliable sync
+        cnt = eng.counts()
+        wall = time.time() - tb
+        done += m
+        batch_walls.append(round(wall, 2))
+        thr = done * (L + 1) / (time.time() - t0)
+        print(f"[scale] batch {len(batch_walls)}: {m} reads in {wall:.1f}s | "
+              f"n={int(cnt.sum())/1e9:.3f} Gsym | cum {thr/1e6:.2f} Msym/s",
+              flush=True)
+        assert int(cnt[0]) == done, (cnt[0], done)
+        assert int(cnt.sum()) == done * (L + 1)
+
+    wall_total = time.time() - t0
+
+    # FM-index spot check: planted substrings must be found
+    from ropebwt2_tpu.engine.query import backward_search
+
+    probe = rng.integers(1, 5, size=(4, 12)).astype(np.int8)
+    # plant each probe in a tiny extra batch so occurrence >= 1 is guaranteed
+    eng.insert_multi(list(probe))
+    lo, hi = backward_search(
+        eng.state,
+        probe.astype(np.int32),
+        np.full(probe.shape[0], probe.shape[1], dtype=np.int32),
+    )
+    found = np.asarray(hi - lo)
+    assert (found >= 1).all(), found
+    print(f"[scale] FM spot check ok: occurrences {found.tolist()}", flush=True)
+
+    result = {
+        "metric": "bcr_scale_run",
+        "symbols": total_syms,
+        "reads": nreads,
+        "read_len": L,
+        "sorting_order": so,
+        "wall_s": round(wall_total, 1),
+        "throughput_sym_s": round(total_syms / wall_total, 1),
+        "device": f"{dev.platform}:{dev.device_kind}",
+        "batch_walls_s": batch_walls,
+        "capacity": eng.state.cap,
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print("[scale] RESULT " + json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()
