@@ -47,6 +47,22 @@ from ..index.scan import (
 )
 
 
+def _use_pallas_plan(M: int, ldt, pkdt):
+    """The Pallas plan kernels run on real TPUs for int32 read state and
+    whole-VMEM-friendly batch sizes; returns None (XLA path), "tpu", or
+    "interp" (forced interpret mode, for CPU testing)."""
+    # default OFF: md5 divergence on real hardware under investigation
+    # (interpret mode and M=1024 on-chip agree; M=2^17 on-chip does not)
+    mode = os.environ.get("ROPEBWT2_TPU_PLAN", "0")
+    if mode == "0" or ldt != I32 or pkdt != I32:
+        return None
+    if M % 1024 != 0 or M > (1 << 17):
+        return None
+    if mode == "interp":
+        return "interp"
+    return "tpu" if jax.default_backend() == "tpu" else None
+
+
 def _use_pallas_merge(cap: int, K: int) -> bool:
     """The Pallas merge kernel runs on real TPUs for capacities it supports;
     CPU (tests, virtual meshes) uses the jnp reference formulation."""
@@ -234,16 +250,19 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
         poc = jnp.sum(jnp.where(ohc, poff[None, :], 0), axis=1, dtype=pdt)
         pprefix_c = sel_rows(pprefix)
     gLq = poc + L
-    TL = rank_fn(gLq) - pprefix_c
     if so == SO_IO:
         # input order keeps every interval empty (l == u by induction:
         # mr_insert1's l==u path and singleton groups) — skip the second
         # rank query, delta is identically zero
+        TL = rank_fn(gLq) - pprefix_c
         delta = jnp.zeros_like(TL)
     else:
+        # ONE batched rank call for both interval ends (launch overhead on
+        # the tunneled backend makes op count matter more than op size)
         gUq = poc + U
-        TU = rank_fn(gUq) - pprefix_c
-        delta = TU - TL  # (M,6): per-symbol count inside the interval
+        both = rank_fn(jnp.concatenate([gLq, gUq]))
+        TL = both[:M] - pprefix_c
+        delta = both[M:] - both[:M]  # (M,6): per-symbol count in interval
 
     # ---- 4. insertion points per symbol, start-of-round local coords ----
     # X[:, s] = L + sum of delta over symbols emitted before s.
@@ -373,9 +392,23 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
     rank_fn = lambda gpos: rank_global(  # noqa: E731
         state.bwt, state.blk_prefix, gpos, K
     )
-    new_reads, gX, sym, stream, active, ins_bucket, n_ins = plan_round(
-        state.psize, state.pcounts, reads, buf, d, is_first, rank_fn, so=so
+    plan_mode = _use_pallas_plan(
+        reads.l.shape[0], reads.l.dtype, reads.pk.dtype
     )
+    if plan_mode:
+        from .plan_pallas import plan_round_tpu
+
+        new_reads, gX, sym, stream, active, ins_bucket, n_ins = (
+            plan_round_tpu(
+                state.psize, state.pcounts, reads, buf, d, is_first,
+                rank_fn, so=so, interpret=plan_mode == "interp",
+            )
+        )
+    else:
+        new_reads, gX, sym, stream, active, ins_bucket, n_ins = plan_round(
+            state.psize, state.pcounts, reads, buf, d, is_first, rank_fn,
+            so=so,
+        )
 
     # ---- merge (+ fused rank-table rebuild on the Pallas path) ----
     if _use_pallas_merge(state.cap, K):
