@@ -7,13 +7,14 @@ the result JSON to SCALE_r02.json at the repo root.
 
 Self-checks: final symbol counts (sentinels == #reads, total == Gsym), and
 an FM-query spot check (backward_search of sampled read substrings must hit
-at least the planted multiplicity).  Full byte parity vs the reference
-binary at this scale is impractical on the 4-core host (hours); parity is
-covered up to ~64 Msym by tests/test_scale_parity.py and the md5 recipe in
-PARITY.md — this script proves capacity + throughput.
+at least the planted multiplicity).  With SCALE_MD5=1 the full BWT is
+pulled back and md5-hashed in the reference's plain-text encoding; compare
+against `ropebwt2 -LRs -m10g` on the same reads (generate them with
+scripts/gen_scale_input.py — same RNG stream).  RLO output is insertion-
+order invariant (README.md:15-25), so batching does not affect the hash.
 
 Env: SCALE_NREADS (default 10_485_760), SCALE_L (101), SCALE_MBATCH
-(default 2^21), SCALE_SO (1=RLO), SCALE_JSON (output path).
+(default 2^21), SCALE_SO (1=RLO), SCALE_JSON (output path), SCALE_MD5=1.
 """
 
 import json
@@ -75,6 +76,23 @@ def main():
 
     wall_total = time.time() - t0
 
+    bwt_md5 = None
+    if os.environ.get("SCALE_MD5") == "1":
+        # md5 of the reference's plain-text encoding ("$ACGTN" chars + one
+        # trailing newline), BEFORE the probe batch below mutates the index
+        import hashlib
+
+        tm = time.time()
+        h = hashlib.md5()
+        lut = np.frombuffer(b"$ACGTN", dtype=np.uint8)
+        bwt = eng.bwt_array()  # one big device->host pull
+        for lo in range(0, bwt.shape[0], 1 << 26):
+            h.update(lut[bwt[lo : lo + (1 << 26)]].tobytes())
+        h.update(b"\n")
+        bwt_md5 = h.hexdigest()
+        print(f"[scale] bwt md5 {bwt_md5} ({time.time()-tm:.1f}s incl. "
+              "transfer)", flush=True)
+
     # FM-index spot check: planted substrings must be found
     from ropebwt2_tpu.engine.query import backward_search
 
@@ -102,6 +120,8 @@ def main():
         "batch_walls_s": batch_walls,
         "capacity": eng.state.cap,
     }
+    if bwt_md5 is not None:
+        result["bwt_md5"] = bwt_md5
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print("[scale] RESULT " + json.dumps(result), flush=True)
