@@ -47,22 +47,6 @@ from ..index.scan import (
 )
 
 
-def _use_pallas_plan(M: int, ldt, pkdt):
-    """The Pallas plan kernels run on real TPUs for int32 read state and
-    whole-VMEM-friendly batch sizes; returns None (XLA path), "tpu", or
-    "interp" (forced interpret mode, for CPU testing)."""
-    # default OFF: md5 divergence on real hardware under investigation
-    # (interpret mode and M=1024 on-chip agree; M=2^17 on-chip does not)
-    mode = os.environ.get("ROPEBWT2_TPU_PLAN", "0")
-    if mode == "0" or ldt != I32 or pkdt != I32:
-        return None
-    if M % 1024 != 0 or M > (1 << 17):
-        return None
-    if mode == "interp":
-        return "interp"
-    return "tpu" if jax.default_backend() == "tpu" else None
-
-
 def _use_pallas_merge(cap: int, K: int) -> bool:
     """The Pallas merge kernel runs on real TPUs for capacities it supports;
     CPU (tests, virtual meshes) uses the jnp reference formulation."""
@@ -72,7 +56,7 @@ def _use_pallas_merge(cap: int, K: int) -> bool:
         return False
     return (
         jax.default_backend() == "tpu"
-        and cap % (mp.SUPER * mp.B) == 0
+        and cap % mp.SUPER_B == 0
         and cap < (1 << 31)
         and K % mp.LANE == 0
     )
@@ -113,20 +97,31 @@ def _insertion_order(so):
 
 
 def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
-               rank_fn, *, so):
+               rank_fn, *, so, comm=None):
     """Steps 1-4 + interval updates of one BCR round, independent of how the
     flat buffer is stored: ``rank_fn(gpos) -> (M, 6)`` supplies GLOBAL
-    6-symbol ranks (single-device table lookup, or a psum over shards).
+    6-symbol ranks (single-device table lookup, or routed shard lookups).
 
     Position arithmetic runs in the dtype of reads.l (int32 when the
     capacity fits — int64 vector ops are an order of magnitude slower on
     TPU; the driver picks the dtype).
 
+    ``comm`` abstracts the handful of global primitives (scans, the sort
+    permutation, boundary rolls, reductions) so the same algorithm runs
+    single-device (LocalComm, the default — ops identical to the tuned
+    single-chip path) or sharded under shard_map (ShardComm): reads here
+    means the LOCAL block of the read state.
+
     Returns (new_reads, gX, sym, stream, active, ins_bucket, n_ins)."""
-    M = reads.l.shape[0]
+    if comm is None:
+        from ..parallel.comm import LocalComm
+
+        comm = LocalComm()
+    M = reads.l.shape[0]  # local rows
+    Mg = M * getattr(comm, "d", 1)  # global rows (exactness thresholds)
     pdt = reads.l.dtype
     em = jnp.asarray(_insertion_order(so), dtype=I32)
-    arange_m = jnp.arange(M, dtype=I32)
+    arange_m = comm.iota(M)  # GLOBAL row index of each local row
     ar6 = jnp.arange(NSYM, dtype=I32)
 
     # ---- 1. stable counting sort by bucket (mrope.c:303-310) ----
@@ -140,22 +135,16 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     c0 = (pk0 & 7).astype(I32)  # 7 on padding rows
     key = jnp.where(dead0, 0, c0)
     onehot_key = (key[:, None] == ar6[None, :]).astype(I32)
-    csum_key = cumsum_blocked(onehot_key)
-    totals = csum_key[-1]
+    csum_key, totals = comm.cumsum_with_totals(onehot_key)
     base = jnp.concatenate([jnp.zeros(1, I32), cumsum_small(totals)[:-1]])
     dest = (
         jnp.sum(base[None, :] * onehot_key, axis=1, dtype=I32)
         + jnp.sum(csum_key * onehot_key, axis=1, dtype=I32)
         - 1
     )
-    # move the payload with three direct scatters (dest is a permutation)
-    l = jnp.zeros(M, reads.l.dtype).at[dest].set(
-        reads.l, unique_indices=True
-    )
-    u = jnp.zeros(M, reads.u.dtype).at[dest].set(
-        reads.u, unique_indices=True
-    )
-    pk = jnp.zeros(M, pk0.dtype).at[dest].set(pk0, unique_indices=True)
+    # move the payload (dest is a global permutation: direct scatters on
+    # one device, a balanced all-to-all re-shard otherwise)
+    l, u, pk = comm.permute(dest, (reads.l, reads.u, pk0))
     dead = pk < 0
     c = (pk & 7).astype(I32)
 
@@ -178,13 +167,13 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
 
     # ---- 2. groups: runs of equal (inert, bucket, u) ----
     tkey = c * 2 + inert.astype(I32)  # bucket + inert packed: one compare
-    prev_tkey = jnp.roll(tkey, 1)
-    prev_u = jnp.roll(u, 1)
+    prev_tkey = comm.roll1(tkey)
+    prev_u = comm.roll1(u)
     bucket_head = (arange_m == 0) | (tkey != prev_tkey)
     head = bucket_head | (u != prev_u)
     # one stacked scan for both head-index propagations (scan passes, not
     # widths, dominate the cost of these blocked prefix ops)
-    hh = cummax_blocked(
+    hh = comm.cummax(
         jnp.stack(
             [
                 jnp.where(head, arange_m, 0),
@@ -279,7 +268,7 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     # ---- per-row / per-group combinatorics ----
     oh = ohp & active[:, None]
     oh32 = oh.astype(I32)
-    csum = cumsum_blocked(oh32)  # inclusive
+    csum = comm.cumsum(oh32)  # inclusive
     excl = csum - oh32
 
     # head/bucket-head values of the non-decreasing count columns,
@@ -292,8 +281,8 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     # then propagate tail values backward with a reverse prefix-min (the
     # columns are non-decreasing and the last row is always a tail)
     em_lt = (em[None, :] < em[:, None]).astype(I32)  # em_lt[a, b] = em_b < em_a
-    is_tail = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
-    if M <= (1 << 21):
+    is_tail = comm.shift_up1_bool(head, True)
+    if Mg <= (1 << 21):
         emf = em_lt.astype(jnp.float32)
         Wc = jnp.einsum(
             "ms,ts->mt", csum.astype(jnp.float32), emf
@@ -301,7 +290,7 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
         We = jnp.einsum(
             "ms,ts->mt", excl.astype(jnp.float32), emf
         ).astype(I32)
-        fwd = cummax_blocked(
+        fwd = comm.cummax(
             jnp.concatenate(
                 [
                     jnp.where(head[:, None], excl, 0),
@@ -313,13 +302,12 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
         )
         head_excl, bkt_excl = fwd[:, :NSYM], fwd[:, NSYM : 2 * NSYM]
         We_head = fwd[:, 2 * NSYM :]
-        Wc_tail = cummin_blocked(
-            jnp.where(is_tail[:, None], Wc, jnp.iinfo(I32).max),
-            reverse=True,
+        Wc_tail = comm.cummin_rev(
+            jnp.where(is_tail[:, None], Wc, jnp.iinfo(I32).max)
         )
         before_in_group = take_sym(Wc_tail - We_head)
     else:
-        fwd = cummax_blocked(
+        fwd = comm.cummax(
             jnp.concatenate(
                 [
                     jnp.where(head[:, None], excl, 0),
@@ -329,9 +317,8 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
             )
         )
         head_excl, bkt_excl = fwd[:, :NSYM], fwd[:, NSYM:]
-        csum_tail = cummin_blocked(
-            jnp.where(is_tail[:, None], csum, jnp.iinfo(I32).max),
-            reverse=True,
+        csum_tail = comm.cummin_rev(
+            jnp.where(is_tail[:, None], csum, jnp.iinfo(I32).max)
         )
         cnt_row = csum_tail - head_excl  # (M,6) group totals
         before_in_group = jnp.sum(
@@ -345,17 +332,17 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
 
     # per-bucket inserted-symbol totals: a 6xM one-hot contraction (MXU)
     # instead of a scatter-add into 6 segments
-    if M <= (1 << 24):  # f32 accumulation exact up to 2^24
+    if M <= (1 << 24):  # f32 accumulation exact up to 2^24 (local rows)
         bucket_oh = ohc.T & active[None, :]
-        ins_bucket = jnp.einsum(
+        ins_bucket = comm.psum_array(jnp.einsum(
             "bm,ms->bs",
             bucket_oh.astype(jnp.float32),
             oh32.astype(jnp.float32),
-        ).astype(I64)
+        ).astype(I64))
     else:
-        ins_bucket = jax.ops.segment_sum(
+        ins_bucket = comm.psum_array(jax.ops.segment_sum(
             oh32, jnp.where(active, c, NSYM - 1), num_segments=NSYM
-        ).astype(I64)
+        ).astype(I64))
     ac_excl = jnp.concatenate(
         [
             jnp.zeros((1, NSYM), I64),
@@ -365,7 +352,7 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
 
     # ---- global tie rank (stream index) of each read's insertion ----
     rank_in_run = take_sym(excl - head_excl)
-    n_inert = jnp.sum(inert, dtype=I32)
+    n_inert = comm.sum_scalar(inert, I32)
     stream = (
         (headidx - n_inert).astype(pdt)
         + before_in_group.astype(pdt)
@@ -381,7 +368,7 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     # fold the inserted symbol into the packed word (pk & -8 keeps off<<3)
     pk = jnp.where(active, (pk & ~jnp.asarray(7, pk.dtype)) | sym.astype(pk.dtype), pk)
 
-    n_ins = jnp.sum(active.astype(I64))
+    n_ins = comm.sum_scalar(active, I64)
     new_reads = ReadStates(l=l, u=u, pk=pk)
     return new_reads, gX, sym, stream, active, ins_bucket, n_ins
 
@@ -392,23 +379,10 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
     rank_fn = lambda gpos: rank_global(  # noqa: E731
         state.bwt, state.blk_prefix, gpos, K
     )
-    plan_mode = _use_pallas_plan(
-        reads.l.shape[0], reads.l.dtype, reads.pk.dtype
+    new_reads, gX, sym, stream, active, ins_bucket, n_ins = plan_round(
+        state.psize, state.pcounts, reads, buf, d, is_first, rank_fn,
+        so=so,
     )
-    if plan_mode:
-        from .plan_pallas import plan_round_tpu
-
-        new_reads, gX, sym, stream, active, ins_bucket, n_ins = (
-            plan_round_tpu(
-                state.psize, state.pcounts, reads, buf, d, is_first,
-                rank_fn, so=so, interpret=plan_mode == "interp",
-            )
-        )
-    else:
-        new_reads, gX, sym, stream, active, ins_bucket, n_ins = plan_round(
-            state.psize, state.pcounts, reads, buf, d, is_first, rank_fn,
-            so=so,
-        )
 
     # ---- merge (+ fused rank-table rebuild on the Pallas path) ----
     if _use_pallas_merge(state.cap, K):

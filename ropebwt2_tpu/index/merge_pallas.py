@@ -62,16 +62,30 @@ from jax.experimental.pallas import tpu as pltpu
 from ..alphabet import NSYM
 from .scan import cumsum_blocked
 
-B = 4096  # symbols per output block (the expand granularity)
+B = 4096  # symbols per output block (the expand granularity), default
 LANE = 128
-ROWS = B // LANE  # 32 rows per output block
-WROWS = 40  # old-window rows per block: 32 + 8 (sub-window alignment slack)
-SUPER = 32  # output blocks fetched/stored per DMA round-trip
-SROWS = SUPER * ROWS  # 1024 rows = 131072 symbols per DMA round-trip
+SUPER_B = 131072  # symbols per DMA round-trip (SUPER * B, geometry-fixed)
+SROWS = SUPER_B // LANE  # 1024 rows per DMA round-trip
 SWROWS = SROWS + 16  # super window: SUPER blocks + alignment + edge slack
 PAD_ROWS = 16  # permanent input/output tail slack so windows never clamp
-STACK_ROWS = SUPER * WROWS  # stacked aligned windows
 I32 = jnp.int32
+
+
+def pick_block(cap: int) -> int:
+    """Expand-block size for a capacity: B = 4096 measures fastest, but the
+    per-block insertion-start table lives in SMEM (~1 MB on v5e), so big
+    capacities need coarser blocks: cap/B + 2 int32 entries must stay well
+    under the SMEM budget (<= 512 KB here)."""
+    b = B
+    while cap // b + 2 > (1 << 17):
+        b *= 2
+    return b
+
+
+def _geom(b: int):
+    """(rows, wrows, super, stack_rows) for expand-block size ``b``."""
+    rows = b // LANE
+    return rows, rows + 8, SUPER_B // b, SUPER_B // b * (rows + 8)
 
 
 def _row_rotate_down(v, q):
@@ -98,9 +112,10 @@ def _flat_shift_left(v, step):
     return jnp.concatenate([v[:, step:], nxt[:, :step]], axis=1)
 
 
-def _seg_flat_prefix(x):
+def _seg_flat_prefix(x, rows_per_block):
     """Inclusive prefix sum over flattened order, SEGMENTED per sub-block
-    (every ROWS rows restart); masks are static."""
+    (every rows_per_block rows restart); masks are static."""
+    ROWS = rows_per_block
     srows = x.shape[0]
     tot = jnp.sum(x, axis=1, keepdims=True)  # row totals
     sh = 1
@@ -135,18 +150,20 @@ def _align_windows(stv, rem_vec):
     return stv
 
 
-def _expand(insm32, aligned):
+def _expand(insm32, aligned, rows_per_block):
     """out[p] = insmap[p]-1 at insertion positions, else old[p - c(p)]
     where c = per-block inclusive insertion-count prefix.  The gather runs
-    as 12 conditional static shifts over the bits of c, high to low; valid
-    because c is non-decreasing with slope <= 1 within a block (see module
-    docstring)."""
+    as log2(B) conditional static shifts over the bits of c, high to low;
+    valid because c is non-decreasing with slope <= 1 within a block (see
+    module docstring)."""
+    ROWS = rows_per_block
     is_ins = insm32 != 0
-    c = _seg_flat_prefix(jnp.where(is_ins, 1, 0).astype(I32))
+    c = _seg_flat_prefix(jnp.where(is_ins, 1, 0).astype(I32), ROWS)
     v = aligned
     rowb = jax.lax.broadcasted_iota(I32, (SROWS, 1), 0) % ROWS
     lane = jax.lax.broadcasted_iota(I32, (SROWS, LANE), 1)
-    for k in range(11, -1, -1):
+    nbits = (ROWS * LANE).bit_length() - 1
+    for k in range(nbits - 1, -1, -1):
         step = 1 << k
         if step >= LANE:
             sh = _row_rotate_down(v, step // LANE)
@@ -158,28 +175,30 @@ def _expand(insm32, aligned):
     return jnp.where(is_ins, insm32 - 1, v)
 
 
-def _window_scalars(start_ref, sb):
+def _window_scalars(start_ref, sb, bsz, superb):
     """(rowq_s, b0) for super-block sb."""
-    b0 = sb * SUPER
-    old_start_first = b0 * B - start_ref[b0]
+    b0 = sb * superb
+    old_start_first = b0 * bsz - start_ref[b0]
     rowq_s = pl.multiple_of((old_start_first // (8 * LANE)) * 8, 8)
     return rowq_s, b0
 
 
-def _merge_kernel(start_ref, old_hbm, ins_hbm, *refs):
+def _merge_kernel(bsz, start_ref, old_hbm, ins_hbm, *refs):
     with jax.enable_x64(False):
-        _merge_body(start_ref, old_hbm, ins_hbm, *refs)
+        _merge_body(bsz, start_ref, old_hbm, ins_hbm, *refs)
 
 
-def _merge_body(start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
+def _merge_body(bsz, start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
                 oldA, oldB, insA, insB, outA, outB, cntA, cntB,
                 oldshare, inshare, stackv, sems):
+    ROWS, WROWS, SUPER, STACK_ROWS = _geom(bsz)
+    B = bsz
     cap_rows = old_hbm.shape[0] - PAD_ROWS
     nb_static = cap_rows // ROWS
     nsb = start_ref[nb_static + 1]  # active super-blocks (dynamic)
 
     def in_copies(sb, slot):
-        rowq_s, _ = _window_scalars(start_ref, sb)
+        rowq_s, _ = _window_scalars(start_ref, sb, B, SUPER)
         oldv, insv = (oldA, insA) if slot == 0 else (oldB, insB)
         cp_old = pltpu.make_async_copy(
             old_hbm.at[pl.ds(rowq_s, SWROWS), :], oldv, sems.at[slot]
@@ -214,7 +233,7 @@ def _merge_body(start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
         start_in(0)
 
     def super_body(sb, _):
-        rowq_s, b0 = _window_scalars(start_ref, sb)
+        rowq_s, b0 = _window_scalars(start_ref, sb, B, SUPER)
 
         # wait this super-block's inputs; copy the live slot into shared
         # scratch under its parity guard (never read the opposite slot —
@@ -258,7 +277,7 @@ def _merge_body(start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
 
         # stage 2: expand
         insm32 = inshare[...].astype(I32)
-        out = _expand(insm32, aligned)
+        out = _expand(insm32, aligned, ROWS)
 
         # stage 3: per-row symbol counts via MXU ones-contraction — counts
         # land in the LANE dimension, DMA-able
@@ -307,9 +326,9 @@ def _merge_body(start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
                     cnt_copy(sb, slot).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("K", "interpret"))
+@functools.partial(jax.jit, static_argnames=("K", "interpret", "block"))
 def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
-                 interpret=False):
+                 interpret=False, block=None):
     """Apply one round's insertions; returns (new_bwt, blk_prefix int32).
 
     ``bwt`` is the slack-carrying allocation (cap + PAD_ROWS*LANE int8
@@ -325,9 +344,10 @@ def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
     cap_alloc = bwt.shape[0]
     cap = cap_alloc - PAD_ROWS * LANE
     m = pos.shape[0]
-    nb = cap // B
+    bsz = block or pick_block(cap)  # block: test override for coarse geometries
+    nb = cap // bsz
     cap_rows = cap // LANE
-    assert cap % (SUPER * B) == 0 and cap < (1 << 31)
+    assert cap % SUPER_B == 0 and cap < (1 << 31)
     assert K % LANE == 0 and (PAD_ROWS * LANE) % K == 0
 
     pdt = pos.dtype
@@ -344,23 +364,24 @@ def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
     # per-block insertion-count prefix: histogram destinations by block
     # with one scatter-add, then an exclusive cumsum over the (small) block
     # axis — replaces the former compact-scatter + searchsorted pair
-    blk_of_ins = jnp.where(valid, (dest // B).astype(I32), nb)
+    blk_of_ins = jnp.where(valid, (dest // bsz).astype(I32), nb)
     blk_cnts = jnp.zeros((nb,), I32).at[blk_of_ins].add(1, mode="drop")
     start_ins = jnp.concatenate(
         [jnp.zeros(1, I32), cumsum_blocked(blk_cnts)]
     )
     if n is None:
-        nsb_active = jnp.asarray(cap // (SUPER * B), I32)
+        nsb_active = jnp.asarray(cap // SUPER_B, I32)
     else:
         total = n.astype(jnp.int64) + start_ins[-1].astype(jnp.int64)
         nsb_active = jnp.minimum(
-            (total + SUPER * B - 1) // (SUPER * B), cap // (SUPER * B)
+            (total + SUPER_B - 1) // SUPER_B, cap // SUPER_B
         ).astype(I32)
     start_ins = jnp.concatenate([start_ins, nsb_active[None]])
 
+    _, wrows, _, stack_rows = _geom(bsz)
     nsb_total = cap_rows // SROWS
     new_bwt, cnt_out = pl.pallas_call(
-        _merge_kernel,
+        functools.partial(_merge_kernel, bsz),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # start_ins
             pl.BlockSpec(memory_space=pl.ANY),  # old bwt (rows, 128)
@@ -385,7 +406,7 @@ def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
             pltpu.VMEM((8, SROWS), I32),  # cntB
             pltpu.VMEM((SWROWS, LANE), jnp.int8),  # oldshare
             pltpu.VMEM((SROWS, LANE), jnp.int8),  # inshare
-            pltpu.VMEM((STACK_ROWS, LANE), I32),  # stackv
+            pltpu.VMEM((stack_rows, LANE), I32),  # stackv
             pltpu.SemaphoreType.DMA((8,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

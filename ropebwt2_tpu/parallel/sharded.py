@@ -1,25 +1,34 @@
 """Multi-device BCR under shard_map with explicit collectives.
 
-The distributed backend the reference never had (SURVEY.md §2.1/5): the flat
-BWT buffer is sharded by position range over a 1-D device mesh; per-read BCR
-state is replicated (its per-round cost is O(M) vector work, tiny next to
-the buffer passes).  Per round:
+The distributed backend the reference never had (SURVEY.md §2.1/§5, the
+shared-memory pthread round of mrope.c:299-342 re-expressed over a device
+mesh).  BOTH state axes are sharded:
 
-* rank queries: every shard answers the queries that fall in its range from
-  its local rank tables (which store GLOBAL prefix counts) and the results
-  are combined with one psum — the all-to-all query routing of the design
-  plan collapses to a masked-partials reduction because read state is
-  replicated.
-* merge: insertions whose destinations fall in a shard are applied locally.
-  Because all positions shift right monotonically, each shard's output
-  window additionally needs up to A (= batch insertions) trailing symbols
-  from its LEFT neighbor, exchanged with one non-wrapping ppermute per
-  round.
-* rank tables: rebuilt locally, then one small all_gather of per-shard
-  symbol totals to re-derive the global bases.
+* the flat BWT buffer by position range (shard s owns global capacity
+  range [s*LCAP, (s+1)*LCAP)), with rank tables storing GLOBAL prefix
+  counts (local tables + one all_gather of per-shard totals per round);
+* the per-read BCR state by GLOBAL SORTED RANK: the stable bucket sort of
+  each round doubles as a balanced re-shard — a padded all-to-all moves
+  each read's (l, u, pk) record to the shard owning its sorted position
+  (ShardComm.permute).  Plan scans then run on M/D local rows with
+  cross-shard carries (ShardComm in parallel/comm.py); plan compute is
+  data-parallel, not replicated.
 
-Shard-local coordinates: shard s owns global capacity range
-[s*LCAP, (s+1)*LCAP).
+Per round:
+
+* rank queries are ROUTED: each shard sends its reads' interval-end
+  positions to the shard whose BWT range contains them (padded
+  all-to-all), the owner answers from its local global-valued tables, and
+  the answers are routed back (the distributed rope_rank2a of mrope.c:202).
+* insertions are ROUTED the same way by destination position; each shard
+  then applies its received insertions to its window in one merge pass.
+  All positions shift right monotonically, so a shard's output window
+  additionally needs up to M trailing symbols from its LEFT neighbor,
+  exchanged with one non-wrapping ppermute per round.
+* the cross-bucket rebase (mrope.c:332-340) reductions ride psums.
+
+See HACKING.md for the scaling model (collective volumes vs ICI) and the
+measured 1->8 device CPU-mesh shapes.
 """
 
 import dataclasses
@@ -44,6 +53,7 @@ from ..engine.bcr import (
     _round_up,
 )
 from ..oracle import SO_IO
+from .comm import ShardComm
 
 AXIS = "s"
 
@@ -58,45 +68,58 @@ class ShardedBwt:
     pcounts: jax.Array  # int64[6,6]
 
 
-def _shard_rank_fn(bwt_loc, blkp_loc, lcap, K):
-    """Global 6-symbol rank via masked local lookup + psum."""
-    d = jax.lax.axis_size(AXIS)
-    s_idx = jax.lax.axis_index(AXIS)
+def _routed_rank_fn(comm, bwt_loc, blkp_loc, lcap, K):
+    """Global 6-symbol rank with all-to-all query routing: each query goes
+    to the shard owning its position; owners answer from local tables
+    (which hold GLOBAL prefix values); answers route back."""
 
     def rank_fn(gpos):
-        own = (gpos // lcap == s_idx) | (
-            (gpos == d * lcap) & (s_idx == d - 1)
-        )
-        local = jnp.clip(gpos - s_idx * lcap, 0, lcap)
+        tgt = jnp.clip(gpos // lcap, 0, comm.d - 1).astype(I32)
+        valid = jnp.ones(gpos.shape[0], bool)
+        rv, (rq,), t_, sl_ = comm.exchange(tgt, valid, [gpos])
+        local = jnp.clip(rq - comm.s.astype(gpos.dtype) * lcap, 0, lcap)
         r = rank_global(bwt_loc, blkp_loc, local, K)
-        r = jnp.where(own[:, None], r, 0)
-        return jax.lax.psum(r, AXIS)
+        return comm.reply(t_, sl_, r)
 
     return rank_fn
 
 
-def _local_merge(bwt_loc, gX, sym, stream, active, lcap, K):
-    """Apply the round's insertions to this shard's window; returns the new
+def _local_merge(comm, bwt_loc, gX, sym, stream, active, lcap, K):
+    """Route this shard's planned insertions to their destination shards,
+    then apply the received ones to this shard's window.  Returns the new
     local buffer and its new GLOBAL-valued rank table."""
-    s_idx = jax.lax.axis_index(AXIS)
+    s_idx = comm.s
     lo = s_idx.astype(I64) * lcap
-    m = gX.shape[0]
 
-    dest = gX + stream
-    trash = jnp.int64(lcap + m)
-    ldest = jnp.where(active, dest - lo, trash)  # OOB unless in my range
+    dest = gX.astype(I64) + stream.astype(I64)
+    tgt = jnp.clip(dest // lcap, 0, comm.d - 1).astype(I32)
+    rv, (rdest, rsym), _, _ = comm.exchange(
+        tgt, active, [dest, sym.astype(I32)]
+    )
+
+    # insertions below my range (for the rightward drift): per-owner
+    # histogram of routed destinations, psum'd, prefix below me
+    oh_t = (tgt[:, None] == jnp.arange(comm.d, dtype=I32)[None, :])
+    hist = jax.lax.psum(
+        jnp.sum(oh_t & active[:, None], axis=0, dtype=I64), comm.axis
+    )
+    s_lo = jnp.sum(
+        jnp.where(jnp.arange(comm.d) < s_idx, hist, 0), dtype=I64
+    )
+
+    ldest = jnp.where(rv, rdest - lo, lcap)
     insmap = jnp.zeros((lcap,), jnp.int8)
     insmap = insmap.at[ldest].set(
-        (sym + 1).astype(jnp.int8), mode="drop", unique_indices=True
+        (rsym + 1).astype(jnp.int8), mode="drop", unique_indices=True
     )
     marks = (insmap != 0).astype(I32)
     c_local = cumsum_blocked(marks)  # inclusive
-    s_lo = jnp.sum((active & (dest < lo)).astype(I64))
 
-    # left neighbor's tail covers the rightward drift (<= m per round)
+    # left neighbor's tail covers the rightward drift (<= M per round)
+    m = gX.shape[0] * comm.d  # global batch rows
     tail = bwt_loc[lcap - m :]
     tail = jax.lax.ppermute(
-        tail, AXIS, [(i, i + 1) for i in range(jax.lax.axis_size(AXIS) - 1)]
+        tail, comm.axis, [(i, i + 1) for i in range(comm.d - 1)]
     )
     stitched = jnp.concatenate([tail, bwt_loc])  # (m + lcap,)
 
@@ -108,25 +131,28 @@ def _local_merge(bwt_loc, gX, sym, stream, active, lcap, K):
     # new local tables with global bases
     local_pref = build_block_tables(new_loc, K)
     totals = local_pref[-1]  # (6,)
-    all_tot = jax.lax.all_gather(totals, AXIS)  # (D, 6)
+    all_tot = jax.lax.all_gather(totals, comm.axis)  # (D, 6)
     base = jnp.concatenate(
         [jnp.zeros((1, NSYM), I64), jnp.cumsum(all_tot, axis=0)[:-1]]
     )[s_idx]
     return new_loc, local_pref + base[None, :]
 
 
-def sharded_bcr_batch_impl(state, reads, buf, n_rounds, *, K, so, lcap):
-    def round_body(d, carry):
+def sharded_bcr_batch_impl(state, reads, buf, n_rounds, *, K, so, lcap, d):
+    ml = reads.l.shape[0]  # local read rows
+    comm = ShardComm(AXIS, ml, d)
+
+    def round_body(rd_idx, carry):
         st, rd = carry
         bwt_loc = st.bwt[0]
         blkp_loc = st.blk_prefix[0]
-        rank_fn = _shard_rank_fn(bwt_loc, blkp_loc, lcap, K)
+        rank_fn = _routed_rank_fn(comm, bwt_loc, blkp_loc, lcap, K)
         new_reads, gX, sym, stream, active, ins_bucket, n_ins = plan_round(
-            st.psize, st.pcounts, rd, buf, d.astype(I32), d == 0,
-            rank_fn, so=so,
+            st.psize, st.pcounts, rd, buf, rd_idx.astype(I32), rd_idx == 0,
+            rank_fn, so=so, comm=comm,
         )
         new_loc, new_blkp = _local_merge(
-            bwt_loc, gX, sym, stream, active, lcap, K
+            comm, bwt_loc, gX, sym, stream, active, lcap, K
         )
         new_state = ShardedBwt(
             bwt=new_loc[None],
@@ -142,18 +168,20 @@ def sharded_bcr_batch_impl(state, reads, buf, n_rounds, *, K, so, lcap):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "so", "lcap", "mesh"),
+    static_argnames=("K", "so", "lcap", "mesh", "d"),
     donate_argnums=(0, 1),
 )
-def sharded_bcr_batch(state, reads, buf, n_rounds, *, K, so, lcap, mesh):
+def sharded_bcr_batch(state, reads, buf, n_rounds, *, K, so, lcap, mesh, d):
     shard = P(AXIS)
     rep = P()
     state_specs = ShardedBwt(
         bwt=shard, blk_prefix=shard, n=rep, psize=rep, pcounts=rep
     )
-    read_specs = ReadStates(l=rep, u=rep, pk=rep)
+    read_specs = ReadStates(l=shard, u=shard, pk=shard)
     fn = shard_map(
-        functools.partial(sharded_bcr_batch_impl, K=K, so=so, lcap=lcap),
+        functools.partial(
+            sharded_bcr_batch_impl, K=K, so=so, lcap=lcap, d=d
+        ),
         mesh=mesh,
         in_specs=(state_specs, read_specs, rep, rep),
         out_specs=(state_specs, read_specs),
@@ -163,8 +191,8 @@ def sharded_bcr_batch(state, reads, buf, n_rounds, *, K, so, lcap, mesh):
 
 
 class ShardedTpuBwt:
-    """Multi-device BWT builder: same API surface as TpuBwt, state sharded
-    over a 1-D mesh."""
+    """Multi-device BWT builder: same API surface as TpuBwt; BWT sharded by
+    position range, read state sharded by sorted rank over a 1-D mesh."""
 
     def __init__(self, so=SO_IO, K=256, mesh=None):
         if mesh is None:
@@ -195,12 +223,14 @@ class ShardedTpuBwt:
         if old is not None:
             flat[: len(old)] = old
         bwt = flat.reshape(self.d, lcap)
-        blkp = np.zeros((self.d, lcap // self.K + 1, NSYM), dtype=np.int64)
-        run = np.zeros(NSYM, dtype=np.int64)
-        for s in range(self.d):
-            local = build_block_tables(jnp.asarray(bwt[s]), self.K)
-            blkp[s] = np.asarray(local) + run[None, :]
-            run += np.asarray(local[-1])
+        # per-shard tables with global bases, vectorized over shards
+        jb = jnp.asarray(bwt)
+        local = jax.vmap(lambda b: build_block_tables(b, self.K))(jb)
+        tot = np.asarray(local[:, -1, :])  # (D, 6)
+        run = np.concatenate(
+            [np.zeros((1, NSYM), np.int64), np.cumsum(tot, axis=0)[:-1]]
+        )
+        blkp = np.asarray(local) + run[:, None, :]
         psize = (
             np.asarray(self.state.psize)
             if self.state is not None
@@ -229,8 +259,7 @@ class ShardedTpuBwt:
         lens = np.array([len(r) for r in reads], dtype=np.int32)
         total = int(lens.sum()) + m
         self._plan(total)
-        mpad = _pad_pow2(m)
-        npad = mpad - m
+        mpad = max(_pad_pow2(m), self.d)
         if mpad > self._lcap:  # drift guard: one round inserts <= mpad
             self._plan(self._n + total + mpad * self.d)
         strides = np.asarray(
@@ -244,6 +273,7 @@ class ShardedTpuBwt:
             if not already_reversed:
                 rv = rv[::-1]
             buf[starts[i] : starts[i] + len(rv)] = rv
+        npad = mpad - m
         pk = np.full(mpad, -1, dtype=np.int64)
         pk[npad:] = starts  # 8-aligned: off == (off//8)<<3, c = 0
         l = np.zeros(mpad, dtype=np.int64)
@@ -253,11 +283,12 @@ class ShardedTpuBwt:
             u[npad:] = l[npad:]
         else:
             u[npad:] = self._n_strings
+        sh = NamedSharding(self.mesh, P(AXIS))
         rep = NamedSharding(self.mesh, P())
         rs = ReadStates(
-            l=jax.device_put(jnp.asarray(l), rep),
-            u=jax.device_put(jnp.asarray(u), rep),
-            pk=jax.device_put(jnp.asarray(pk), rep),
+            l=jax.device_put(jnp.asarray(l), sh),
+            u=jax.device_put(jnp.asarray(u), sh),
+            pk=jax.device_put(jnp.asarray(pk), sh),
         )
         jbuf = jax.device_put(jnp.asarray(buf), rep)
         self.state, _ = sharded_bcr_batch(
@@ -269,6 +300,7 @@ class ShardedTpuBwt:
             so=self.so,
             lcap=self._lcap,
             mesh=self.mesh,
+            d=self.d,
         )
         self._n += total
         self._n_strings += m

@@ -9,6 +9,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ropebwt2_tpu.index import merge_pallas as mp
+mpROWS, mpWROWS, mpSUPER, mpSTACK_ROWS = mp._geom(mp.B)
 
 I32 = jnp.int32
 CAP = 1 << 24
@@ -53,7 +54,7 @@ def kernel_call(b, insm, start_ins):
             pltpu.VMEM((8, mp.SROWS), I32),
             pltpu.VMEM((mp.SWROWS, LANE), jnp.int8),
             pltpu.VMEM((mp.SROWS, LANE), jnp.int8),
-            pltpu.VMEM((mp.STACK_ROWS, LANE), I32),
+            pltpu.VMEM((mpSTACK_ROWS, LANE), I32),
             pltpu.SemaphoreType.DMA((8,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

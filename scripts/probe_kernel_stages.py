@@ -11,6 +11,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ropebwt2_tpu.index import merge_pallas as mp
+mpROWS, mpWROWS, mpSUPER, mpSTACK_ROWS = mp._geom(mp.B)
 
 I32 = jnp.int32
 ITERS = 3000
@@ -23,7 +24,7 @@ old_np = rng.integers(0, 6, (mp.SWROWS, LANE)).astype(np.int8)
 ins_np = (rng.random((mp.SROWS, LANE)) < 0.01).astype(np.int8) * (
     rng.integers(0, 6, (mp.SROWS, LANE)).astype(np.int8) + 1
 )
-rem_np = rng.integers(0, 1024, (mp.STACK_ROWS, 1)).astype(np.int32)
+rem_np = rng.integers(0, 1024, (mpSTACK_ROWS, 1)).astype(np.int32)
 
 
 def mk(kernel_body):
@@ -36,7 +37,7 @@ def mk(kernel_body):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, LANE), I32),
-        scratch_shapes=[pltpu.VMEM((mp.STACK_ROWS, LANE), I32)],
+        scratch_shapes=[pltpu.VMEM((mpSTACK_ROWS, LANE), I32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
     return jax.jit(f)
@@ -45,10 +46,10 @@ def mk(kernel_body):
 def body_align(old_ref, ins_ref, rem_ref, out_ref, stackv):
     with jax.enable_x64(False):
         def it(i, acc):
-            for j in range(mp.SUPER):
+            for j in range(mpSUPER):
                 off = pl.multiple_of((((i + j) % 2) * 8), 8)
-                stackv[j * mp.WROWS:(j + 1) * mp.WROWS, :] = old_ref[
-                    pl.ds(off, mp.WROWS), :].astype(I32)
+                stackv[j * mpWROWS:(j + 1) * mpWROWS, :] = old_ref[
+                    pl.ds(off, mpWROWS), :].astype(I32)
             stv = mp._align_windows(stackv[...], rem_ref[...] + acc)
             return acc + stv[0, 0] * 0 + stv[5, 5] % 2
         acc = jax.lax.fori_loop(0, ITERS, it, jnp.asarray(0, I32))

@@ -6,6 +6,7 @@ import numpy as np
 import jax, jax.numpy as jnp
 
 from ropebwt2_tpu.index import merge_pallas as mp
+mpROWS, mpWROWS, mpSUPER, mpSTACK_ROWS = mp._geom(mp.B)
 from ropebwt2_tpu.index.scan import cumsum_blocked
 
 M = 1 << 17
@@ -108,7 +109,7 @@ def _kernel_only(b, insmap, start_ins):
             pltpu.VMEM((8, mp.SROWS), I32),
             pltpu.VMEM((mp.SWROWS, mp.LANE), jnp.int8),
             pltpu.VMEM((mp.SROWS, mp.LANE), jnp.int8),
-            pltpu.VMEM((mp.STACK_ROWS, mp.LANE), I32),
+            pltpu.VMEM((mpSTACK_ROWS, mp.LANE), I32),
             pltpu.SemaphoreType.DMA((8,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -119,8 +120,8 @@ def _kernel_only(b, insmap, start_ins):
 insmap_np = np.zeros(CAP, np.int8)
 insmap_np[pos + stream] = sym + 1
 start_np = np.searchsorted(pos + stream, np.arange(nb + 1) * mp.B).astype(np.int32)
-nsb_active = int(min((n0 + M + mp.SUPER * mp.B - 1) // (mp.SUPER * mp.B),
-                     CAP // (mp.SUPER * mp.B)))
+nsb_active = int(min((n0 + M + mpSUPER_B - 1) // (mpSUPER_B),
+                     CAP // (mpSUPER_B)))
 start_np = np.concatenate([start_np, [nsb_active]]).astype(np.int32)
 jinsmap = jnp.asarray(insmap_np)
 jstart = jnp.asarray(start_np)

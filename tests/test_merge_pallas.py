@@ -125,3 +125,39 @@ def test_merge_pallas_sparse_and_empty(rng):
     stream[:2] = (0, 1)
     sym[:2] = (3, 4)
     _check(rng, bwt, n, pos, sym, stream, valid, K)
+
+
+def test_coarse_block_geometry_interpret():
+    """Big capacities shrink the SMEM start table by coarsening the expand
+    block (pick_block); exercise the B=8192/16384 geometries in interpret
+    mode at a small capacity against the jnp reference merge."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ropebwt2_tpu.index import merge_pallas as mp
+    from ropebwt2_tpu.index.merge import apply_insertions
+
+    rng = np.random.default_rng(5)
+    cap = 2 * mp.SUPER_B
+    m = 4096
+    n0 = cap // 2 + 12345
+    bwt = np.full(cap + mp.PAD_ROWS * mp.LANE, 6, np.int8)
+    bwt[:n0] = rng.integers(0, 6, n0)
+    pos = np.sort(rng.integers(0, n0, m)).astype(np.int32)
+    sym = rng.integers(0, 6, m).astype(np.int32)
+    stream = np.arange(m, dtype=np.int32)
+    valid = np.ones(m, bool)
+    jb = jnp.asarray(bwt)
+    jn = jnp.asarray(n0, jnp.int64)
+    ref = np.asarray(apply_insertions(
+        jb, jn, jnp.asarray(pos), jnp.asarray(sym), jnp.asarray(stream),
+        jnp.asarray(valid)))[: n0 + m]
+    for blk in (8192, 16384):
+        got, blkp = mp.merge_pallas(
+            jb, jnp.asarray(pos), jnp.asarray(sym), jnp.asarray(stream),
+            jnp.asarray(valid), n=jn, K=256, interpret=True, block=blk)
+        assert np.array_equal(np.asarray(got)[: n0 + m], ref), blk
+        # tables must match a fresh scan of the merged prefix
+        from ropebwt2_tpu.index.rank import build_block_tables
+        want = np.asarray(build_block_tables(got, 256, dtype=jnp.int32))
+        nlive = (n0 + m) // 256
+        assert np.array_equal(np.asarray(blkp)[:nlive], want[:nlive]), blk
