@@ -39,12 +39,7 @@ from ..oracle import SO_IO, SO_RCLO, SO_RLO
 from ..index.flat import FlatBwt, empty_state, grow_state
 from ..index.merge import apply_insertions
 from ..index.rank import build_block_tables, rank_global
-from ..index.scan import (
-    cummax_blocked,
-    cummin_blocked,
-    cumsum_blocked,
-    cumsum_small,
-)
+from ..index.scan import _EXACT, cumsum_small
 
 
 def _use_pallas_merge(cap: int, K: int) -> bool:
@@ -63,6 +58,7 @@ def _use_pallas_merge(cap: int, K: int) -> bool:
 
 I64 = jnp.int64
 I32 = jnp.int32
+_EM_EINSUM_MAX = 1 << 21  # f32 exactness bound for the Wc/We contraction
 
 
 @jax.tree_util.register_dataclass
@@ -216,11 +212,16 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
         ohf = ohc.astype(jnp.float32)
 
         def sel_rows(table):  # table (6, S) int32 -> (M, S) rows[c]
+            # precision=HIGHEST is MANDATORY: XLA:TPU default matmul
+            # precision computes f32 dots with bf16 operands at larger
+            # shapes, rounding integers > 256 (see index/scan.py)
             lo = jnp.einsum(
-                "mb,bs->ms", ohf, (table & 0xFFF).astype(jnp.float32)
+                "mb,bs->ms", ohf, (table & 0xFFF).astype(jnp.float32),
+                precision=_EXACT,
             )
             hi = jnp.einsum(
-                "mb,bs->ms", ohf, (table >> 12).astype(jnp.float32)
+                "mb,bs->ms", ohf, (table >> 12).astype(jnp.float32),
+                precision=_EXACT,
             )
             return (hi.astype(I32) << 12) + lo.astype(I32)
 
@@ -230,7 +231,7 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
         pprefix_c, poc = sel[:, :NSYM], sel[:, NSYM]
     else:
 
-        def sel_rows(table):  # int64 path: six select passes stay exact
+        def sel_rows(table):  # select-pass path: exact at any size/dtype
             out = jnp.zeros((M, table.shape[1]), pdt)
             for b in range(NSYM):
                 out = jnp.where((c == b)[:, None], table[b][None, :], out)
@@ -280,53 +281,51 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     # precontract the 6-wide axis on the MXU (exact in f32 while M < 2^21),
     # then propagate tail values backward with a reverse prefix-min (the
     # columns are non-decreasing and the last row is always a tail)
-    em_lt = (em[None, :] < em[:, None]).astype(I32)  # em_lt[a, b] = em_b < em_a
+    em_tup = _insertion_order(so)  # static python tuple
     is_tail = comm.shift_up1_bool(head, True)
-    if Mg <= (1 << 21):
+    if Mg <= _EM_EINSUM_MAX:
+        # f32 values stay < 5 * 2^21 < 2^24: exact at HIGHEST precision
+        em_lt = (em[None, :] < em[:, None]).astype(I32)
         emf = em_lt.astype(jnp.float32)
         Wc = jnp.einsum(
-            "ms,ts->mt", csum.astype(jnp.float32), emf
+            "ms,ts->mt", csum.astype(jnp.float32), emf, precision=_EXACT
         ).astype(I32)
         We = jnp.einsum(
-            "ms,ts->mt", excl.astype(jnp.float32), emf
+            "ms,ts->mt", excl.astype(jnp.float32), emf, precision=_EXACT
         ).astype(I32)
-        fwd = comm.cummax(
-            jnp.concatenate(
-                [
-                    jnp.where(head[:, None], excl, 0),
-                    jnp.where(bucket_head[:, None], excl, 0),
-                    jnp.where(head[:, None], We, 0),
-                ],
-                axis=1,
-            )
-        )
-        head_excl, bkt_excl = fwd[:, :NSYM], fwd[:, NSYM : 2 * NSYM]
-        We_head = fwd[:, 2 * NSYM :]
-        Wc_tail = comm.cummin_rev(
-            jnp.where(is_tail[:, None], Wc, jnp.iinfo(I32).max)
-        )
-        before_in_group = take_sym(Wc_tail - We_head)
     else:
-        fwd = comm.cummax(
-            jnp.concatenate(
-                [
-                    jnp.where(head[:, None], excl, 0),
-                    jnp.where(bucket_head[:, None], excl, 0),
-                ],
-                axis=1,
-            )
-        )
-        head_excl, bkt_excl = fwd[:, :NSYM], fwd[:, NSYM:]
-        csum_tail = comm.cummin_rev(
-            jnp.where(is_tail[:, None], csum, jnp.iinfo(I32).max)
-        )
-        cnt_row = csum_tail - head_excl  # (M,6) group totals
-        before_in_group = jnp.sum(
-            cnt_row
-            * jnp.sum(jnp.where(ohp[:, :, None], em_lt[None], 0), axis=1),
+        # static-mask integer contraction: out[:, t] = sum over the
+        # (static) symbols emitted before t — <= 15 column adds, exact at
+        # any size
+        def emlt_dot(x):
+            cols = []
+            for t in range(NSYM):
+                sel = [sidx for sidx in range(NSYM)
+                       if em_tup[sidx] < em_tup[t]]
+                acc = jnp.zeros((M,), I32)
+                for sidx in sel:
+                    acc = acc + x[:, sidx]
+                cols.append(acc)
+            return jnp.stack(cols, axis=1)
+
+        Wc = emlt_dot(csum)
+        We = emlt_dot(excl)
+    fwd = comm.cummax(
+        jnp.concatenate(
+            [
+                jnp.where(head[:, None], excl, 0),
+                jnp.where(bucket_head[:, None], excl, 0),
+                jnp.where(head[:, None], We, 0),
+            ],
             axis=1,
-            dtype=I32,
         )
+    )
+    head_excl, bkt_excl = fwd[:, :NSYM], fwd[:, NSYM : 2 * NSYM]
+    We_head = fwd[:, 2 * NSYM :]
+    Wc_tail = comm.cummin_rev(
+        jnp.where(is_tail[:, None], Wc, jnp.iinfo(I32).max)
+    )
+    before_in_group = take_sym(Wc_tail - We_head)
     # my-symbol insertions by earlier groups of my bucket
     P_sym = take_sym(head_excl - bkt_excl).astype(pdt)
 
@@ -338,6 +337,7 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
             "bm,ms->bs",
             bucket_oh.astype(jnp.float32),
             oh32.astype(jnp.float32),
+            precision=_EXACT,
         ).astype(I64))
     else:
         ins_bucket = comm.psum_array(jax.ops.segment_sum(
@@ -383,7 +383,6 @@ def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so
         state.psize, state.pcounts, reads, buf, d, is_first, rank_fn,
         so=so,
     )
-
     # ---- merge (+ fused rank-table rebuild on the Pallas path) ----
     if _use_pallas_merge(state.cap, K):
         from ..index.merge_pallas import merge_pallas

@@ -7,6 +7,7 @@ matmul on the MXU (exact in f32 for window sums <= 2^24), then recursively
 prefix-sum the window totals in integer precision and broadcast the bases.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -114,6 +115,17 @@ def cumsum_blocked(x, exact=False):
     return out[:, 0] if squeeze else out
 
 
+# PRECISION, NOT A MISCOMPILE: XLA:TPU's DEFAULT matmul precision silently
+# evaluates f32 dots with bf16 operands at larger shapes (small shapes get
+# an exact decomposition, which hid this until ~2^19-row programs).  bf16
+# rounds integers above 256, so every exactness-critical contraction in
+# this codebase — the window tri-matmul here, the plan's one-hot selects —
+# must pin precision=HIGHEST (true f32: exact for values < 2^24).  Probed
+# in scripts/probe_numerics_tpu.py; a raw default-precision tri window with
+# values > 256 is wrong at ANY size on the chip.
+_EXACT = jax.lax.Precision.HIGHEST
+
+
 def _cumsum2d(x, exact=False):
     m, c = x.shape
     if m <= _LEAF or m % _B != 0:
@@ -129,7 +141,7 @@ def _cumsum2d(x, exact=False):
         tri = jnp.tril(jnp.ones((_B, _B), jnp.float32))
         # window-local inclusive prefix sums; exact: window sums <= 2^24
         inner = jnp.einsum(
-            "ij,bjc->bic", tri, xb.astype(jnp.float32)
+            "ij,bjc->bic", tri, xb.astype(jnp.float32), precision=_EXACT
         ).astype(x.dtype)
     totals = inner[:, -1, :]  # (nb, c)
     bases = jnp.concatenate(

@@ -171,3 +171,40 @@ def test_query_K_derived_from_state(rng):
     for i, p in enumerate(pos):
         for s in range(6):
             assert occ[i, s] == int((bwt[:p] == s).sum())
+
+
+def test_mxu_safe_fallback_paths(monkeypatch):
+    """XLA:TPU default matmul precision evaluates f32 dots with bf16
+    operands at larger shapes (integers > 256 round) — all contractions pin
+    precision=HIGHEST (index/scan.py), and the Wc/We contraction falls back
+    to a static-mask integer path beyond its f32 value bound.  Force that
+    bound to 1 so the fallback runs at test size and must reproduce the
+    default path's BWT exactly."""
+    import numpy as np
+
+    import ropebwt2_tpu.engine.bcr as bcr
+    from ropebwt2_tpu.engine import TpuBwt
+
+    rng = np.random.default_rng(11)
+    mat = rng.integers(1, 5, size=(300, 23)).astype(np.int8)
+    ragged = [rng.integers(1, 5, size=rng.integers(3, 40)).astype(np.int8)
+              for _ in range(64)]
+    want = {}
+    for so in (0, 1, 2):
+        eng = TpuBwt(so=so)
+        eng.insert_multi(mat)
+        eng.insert_multi(ragged)
+        want[so] = eng.bwt_array()
+
+    import jax
+
+    monkeypatch.setattr(bcr, "_EM_EINSUM_MAX", 1)
+    jax.clear_caches()  # thresholds are trace-time: force re-trace
+    try:
+        for so in (0, 1, 2):
+            eng = TpuBwt(so=so)
+            eng.insert_multi(mat)
+            eng.insert_multi(ragged)
+            assert np.array_equal(eng.bwt_array(), want[so]), so
+    finally:
+        jax.clear_caches()  # don't leak patched traces to other tests
