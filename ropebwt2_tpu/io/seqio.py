@@ -34,10 +34,26 @@ def open_seq_stream(path):
     return buf
 
 
+KSEQ_BUF = 16384  # the reference's kstream buffer size (kseq.h / main.c:12)
+
+
 def read_lines(stream):
     """`-L` mode: yield (seq_bytes, None) per line, truncated at the first
-    non-alphabetic byte (main.c:183-186)."""
+    non-alphabetic byte (main.c:183-186).
+
+    Reproduces a kstream boundary quirk the reference inherits from kseq
+    (kseq.h:91-141): when the decompressed stream length is an exact
+    multiple of the 16384-byte buffer, the final fill is full so is_eof
+    stays unset; the next ks_getuntil call reads 0 bytes and RETURNS an
+    empty line instead of -1.  ropebwt2 then inserts one phantom empty
+    read (a lone sentinel).  Same for a completely empty stream.  The
+    quirk only exists in line mode — fasta/fastq go through ks_getc,
+    which returns -1 on the empty fill."""
+    total = 0
+    ends_nl = False
     for line in stream:
+        total += len(line)
+        ends_nl = line.endswith(b"\n")
         line = line.rstrip(b"\r\n")
         end = len(line)
         for i, ch in enumerate(line):
@@ -45,6 +61,8 @@ def read_lines(stream):
                 end = i
                 break
         yield line[:end], None
+    if total % KSEQ_BUF == 0 and (total == 0 or ends_nl):
+        yield b"", None
 
 
 def read_fastx(stream):

@@ -51,6 +51,10 @@ struct Reader {
   std::string seq, qual; // current record scratch
   std::string carry_seq, carry_qual;  // record that overflowed last batch
   bool has_carry = false;
+  // kstream-quirk emulation state (see next_record)
+  int64_t nbytes = 0;    // decompressed bytes consumed
+  bool last_nl = false;  // stream (so far) ends with a newline
+  bool phantom_done = false;
 };
 
 static bool read_line(Reader *r, std::string *out) {
@@ -64,6 +68,9 @@ static bool read_line(Reader *r, std::string *out) {
   for (;;) {
     char *s = gzgets(r->fp, buf, sizeof(buf));
     if (s == nullptr) return !out->empty();
+    size_t got = strlen(s);
+    r->nbytes += (int64_t)got;
+    r->last_nl = got > 0 && s[got - 1] == '\n';
     out->append(s);
     if (!out->empty() && out->back() == '\n') {
       out->pop_back();
@@ -100,7 +107,18 @@ static int next_record(Reader *r) {
   r->seq.clear();
   r->qual.clear();
   if (r->line_mode) {
-    if (!read_line(r, &line)) return 0;
+    if (!read_line(r, &line)) {
+      // kstream boundary quirk of the reference (kseq.h:91-141): a stream
+      // whose decompressed length is an exact multiple of the 16384-byte
+      // kseq buffer (or an empty stream) yields ONE phantom empty line in
+      // line mode — ropebwt2 inserts a lone sentinel for it.
+      if (!r->phantom_done && r->nbytes % 16384 == 0 &&
+          (r->nbytes == 0 || r->last_nl)) {
+        r->phantom_done = true;
+        return 1;  // r->seq is already clear: empty read
+      }
+      return 0;
+    }
     size_t end = line.size();
     for (size_t i = 0; i < line.size(); ++i) {
       unsigned char ch = line[i];

@@ -76,6 +76,15 @@ def main():
 
     wall_total = time.time() - t0
 
+    # parity with `ropebwt2 -L` on the same reads as a text file: when the
+    # text-stream length is an exact multiple of kseq's 16384-byte buffer,
+    # the reference parses one phantom empty read (kstream quirk, see
+    # io/seqio.py) — mirror it before hashing
+    if (nreads * (L + 1)) % 16384 == 0:
+        eng.insert_multi([np.zeros(0, np.int8)])
+        print("[scale] inserted phantom empty read (kseq boundary quirk)",
+              flush=True)
+
     bwt_md5 = None
     if os.environ.get("SCALE_MD5") == "1":
         # md5 of the reference's plain-text encoding ("$ACGTN" chars + one

@@ -163,3 +163,30 @@ def test_cli_output_file(ref_binary, rng, tmp_path):
     out = tmp_path / "out.bwt"
     run_cli(["-LR", "-o", str(out), "-"], data)
     assert out.read_bytes() == run_ref(ref_binary, ["-LR", "-"], data)
+
+
+@pytest.mark.parametrize("native", ["1", "0"])
+def test_kseq_stream_boundary_phantom_line(native, ref_binary):
+    """kstream quirk (kseq.h:91-141): a line-mode stream whose decompressed
+    length is an exact multiple of the 16384-byte kseq buffer (incl. the
+    empty stream) yields ONE phantom empty read — the reference inserts an
+    extra lone sentinel.  Both our readers emulate it; off-by-one sizes
+    must NOT produce it."""
+    rng = np.random.default_rng(3)
+    reads = rng.integers(1, 5, size=(160, 101)).astype(np.int8)
+    lut = np.frombuffer(b"$ACGTN", dtype=np.uint8)
+    data = bytearray()
+    for r in lut[reads]:
+        data += bytes(r) + b"\n"
+    pad = 16384 - len(data) - 1
+    data += b"A" * pad + b"\n"
+    assert len(data) == 16384
+    for payload in (bytes(data), bytes(data[:-103] + b"G\n"), b""):
+        os.environ["ROPEBWT2_TPU_NATIVE"] = native
+        try:
+            out = run_cli(["-LRs", "-"], payload)
+        finally:
+            os.environ.pop("ROPEBWT2_TPU_NATIVE", None)
+        assert out == run_ref(ref_binary, ["-LRs", "-"], payload), (
+            len(payload)
+        )
