@@ -474,11 +474,15 @@ def bcr_batch_uniform_impl(state, blob, *, K, so, mpad, L, stride):
 
     m = le32(0)
     n_sent = le32(4)  # < 2^31 when int32 positions apply
-    packed = blob[: mpad * (stride // 4)]
+    packed = blob[: mpad * (stride // 4)].reshape(mpad, stride // 4)
 
-    # unpack 2-bit codes -> the stride-aligned nt6 buffer layout: columns
-    # >= L become 0 (the read terminator), padding rows are never read
-    quads = jnp.stack(
+    # unpack 2-bit codes -> the stride-aligned nt6 buffer layout.  The host
+    # packs COLUMN-BLOCKED (byte j holds columns j, j+stride/4, j+stride/2,
+    # j+3*stride/4) so the unpack is four full-width planes concatenated —
+    # any (N, 4)-shaped intermediate would be tile-padded 4 -> 128 lanes by
+    # XLA:TPU (32x HBM inflation; OOM at 2^23-read batches).  Columns >= L
+    # become 0 (the read terminator); padding rows are never read.
+    quads = jnp.concatenate(
         [
             (packed >> 6) & 3,
             (packed >> 4) & 3,
@@ -486,7 +490,7 @@ def bcr_batch_uniform_impl(state, blob, *, K, so, mpad, L, stride):
             packed & 3,
         ],
         axis=1,
-    ).reshape(mpad, stride)
+    )
     col = jax.lax.broadcasted_iota(I32, (mpad, stride), 1)
     buf = jnp.where(col < L, quads.astype(jnp.int8) + 1, 0).reshape(-1)
 
@@ -622,11 +626,12 @@ class TpuBwt:
             rv = rv[:, ::-1]
         arr[:m, :L] = rv - 1  # row j <-> pk offset j*stride (padding rows
         # sit at the FRONT of the state arrays but point at offset -1)
+        q = stride // 4  # column-blocked packing (see bcr_batch_uniform_impl)
         packed = (
-            (arr[:, 0::4] << 6)
-            | (arr[:, 1::4] << 4)
-            | (arr[:, 2::4] << 2)
-            | arr[:, 3::4]
+            (arr[:, :q] << 6)
+            | (arr[:, q : 2 * q] << 4)
+            | (arr[:, 2 * q : 3 * q] << 2)
+            | arr[:, 3 * q :]
         ).reshape(-1)
         scal = np.zeros(4, np.int32)
         scal[0] = m

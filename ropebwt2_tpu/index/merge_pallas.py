@@ -361,11 +361,12 @@ def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
         (sym + 1).astype(jnp.int8), mode="drop", unique_indices=True
     )
 
-    # per-block insertion-count prefix: histogram destinations by block
-    # with one scatter-add, then an exclusive cumsum over the (small) block
-    # axis — replaces the former compact-scatter + searchsorted pair
-    blk_of_ins = jnp.where(valid, (dest // bsz).astype(I32), nb)
-    blk_cnts = jnp.zeros((nb,), I32).at[blk_of_ins].add(1, mode="drop")
+    # per-block insertion-count prefix: count insmap marks per block with a
+    # block-row reduction (one sequential cap-sized pass) instead of a
+    # second M-sized scatter-add — scatters cost ~ms at these M
+    blk_cnts = jnp.sum(
+        (insmap != 0).reshape(nb, bsz), axis=1, dtype=I32
+    )
     start_ins = jnp.concatenate(
         [jnp.zeros(1, I32), cumsum_blocked(blk_cnts)]
     )

@@ -55,14 +55,21 @@ class LocalComm:
         )
 
     def permute(self, dest, arrays):
-        out = []
-        for a in arrays:
-            out.append(
-                jnp.zeros(a.shape[0], a.dtype).at[dest].set(
-                    a, unique_indices=True
-                )
+        dts = {a.dtype for a in arrays}
+        if len(dts) == 1:
+            # one row-scatter moves the whole payload (scatter op overhead
+            # dominates over width at these sizes)
+            stacked = jnp.stack(arrays, axis=1)
+            out = jnp.zeros_like(stacked).at[dest].set(
+                stacked, unique_indices=True
             )
-        return out
+            return [out[:, i] for i in range(len(arrays))]
+        return [
+            jnp.zeros(a.shape[0], a.dtype).at[dest].set(
+                a, unique_indices=True
+            )
+            for a in arrays
+        ]
 
     def sum_scalar(self, x, dtype):
         return jnp.sum(x, dtype=dtype)
