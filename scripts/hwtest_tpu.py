@@ -54,6 +54,41 @@ def main():
         assert np.array_equal(ref[:lim], got[:lim]), f"kernel parity: {label}"
         print(f"HWTEST kernel {label} OK ({time.time()-t0:.1f}s)", flush=True)
 
+    # --- numerics audit: the guarded primitives at 2^19..2^21 rows (the
+    # regime where XLA:TPU's default matmul precision silently corrupted
+    # integer contractions; see index/scan.py) ---
+    import os
+    r = subprocess.run(
+        [sys.executable, "/root/repo/scripts/probe_numerics_tpu.py"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, timeout=1500,
+    )
+    out = r.stdout.decode()
+    assert r.returncode == 0, out[-2000:]
+    print("HWTEST numerics audit OK", flush=True)
+
+    # --- kernel parity at the formerly-corrupt regime: clumped insertions,
+    # cap 2^23, M 2^18 (hardware-only corruption before the precision fix) ---
+    CAPb, Mb = 1 << 23, 1 << 18
+    n_b = CAPb // 2
+    bwtb = np.full(CAPb + PAD_TAIL, 6, np.int8)
+    bwtb[:n_b] = rng.integers(0, 6, n_b)
+    poff = (np.arange(6) * (n_b // 6)).astype(np.int64)
+    lo = np.sort(rng.integers(0, n_b // 8, Mb)).astype(np.int64)
+    bucket = np.sort(rng.integers(0, 6, Mb))
+    posb = np.sort((poff[bucket] + lo).astype(np.int32))
+    symb = rng.integers(0, 6, Mb).astype(np.int32)
+    jbb = jnp.asarray(bwtb)
+    jargs = [jnp.asarray(x) for x in (posb, symb,
+                                      np.arange(Mb, dtype=np.int32),
+                                      np.ones(Mb, bool))]
+    t0 = time.time()
+    got, _ = merge_pallas(jbb, *jargs, n=jnp.asarray(n_b, jnp.int64), K=128)
+    ref = np.asarray(apply_insertions(jbb, jnp.asarray(n_b), *jargs))
+    lim = n_b + Mb
+    assert np.array_equal(ref[:lim], np.asarray(got)[:lim]), "clumped big-cap"
+    print(f"HWTEST kernel clumped big-cap OK ({time.time()-t0:.1f}s)",
+          flush=True)
+
     # --- full engine batch on the chip vs the CPU path in a subprocess ---
     from ropebwt2_tpu.engine import TpuBwt
 
@@ -65,7 +100,6 @@ def main():
     tpu_bwt = eng.bwt_array()
     print("HWTEST engine batch done", flush=True)
 
-    import os
     env = dict(os.environ)
     env.update({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"})
     cpu = subprocess.run(
