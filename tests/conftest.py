@@ -9,6 +9,11 @@ import os
 import subprocess
 import sys
 
+# save the launch values so the gated on-hardware test (test_hw_tpu.py)
+# can restore the TPU backend in its subprocess
+for _k in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS"):
+    if _k in os.environ and "ROPEBWT2_TPU_ORIG_" + _k not in os.environ:
+        os.environ["ROPEBWT2_TPU_ORIG_" + _k] = os.environ[_k]
 os.environ["JAX_PLATFORMS"] = "cpu"
 # The axon sitecustomize force-registers the tunneled TPU backend in every
 # python process (and its eager-op latency is ~100s); blank its trigger so

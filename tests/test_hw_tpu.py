@@ -25,11 +25,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 def test_pallas_and_engine_on_tpu():
     env = dict(os.environ)
-    # undo any CPU forcing so the axon TPU backend registers
+    # undo the conftest CPU forcing so the axon TPU backend registers:
+    # restore the saved launch values (or unset)
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
-    if env.get("PALLAS_AXON_POOL_IPS") == "":
-        env.pop("PALLAS_AXON_POOL_IPS")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    for k in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS"):
+        orig = env.pop("ROPEBWT2_TPU_ORIG_" + k, None)
+        if orig is not None:
+            env[k] = orig
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "hwtest_tpu.py")],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
