@@ -67,3 +67,81 @@ def test_sharded_incremental_batches(rng):
     sharded.insert_multi(reads[:25])
     sharded.insert_multi(reads[25:])
     assert np.array_equal(sharded.bwt_array(), single.bwt_array())
+
+
+def test_shardcomm_primitives_vs_numpy():
+    """Unit-level checks of the collective building blocks (scans with
+    carries, boundary rolls, the padded exchange/reply, the sort
+    permutation) against numpy on the 8-device mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from ropebwt2_tpu.parallel.comm import ShardComm
+
+    d = 8
+    m = 8 * 256
+    mesh = Mesh(np.asarray(jax.devices()[:d]), ("s",))
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, 50, size=(m, 3)).astype(np.int32)
+    v = rng.integers(0, 40, size=m).astype(np.int32)
+    dest = rng.permutation(m).astype(np.int32)
+    q = rng.integers(0, m, size=m).astype(np.int32)  # routed values
+
+    def body(xl, vl, dl, ql):
+        comm = ShardComm("s", m // d, d)
+        outs = {}
+        outs["iota"] = comm.iota(m // d)
+        outs["cumsum"], outs["tot"] = comm.cumsum_with_totals(xl)
+        outs["cummax"] = comm.cummax(xl)
+        outs["cummin_rev"] = comm.cummin_rev(xl)
+        outs["roll1"] = comm.roll1(vl)
+        outs["shiftup"] = comm.shift_up1_bool(vl > 20, True).astype(
+            jnp.int32
+        )
+        outs["perm"] = comm.permute(dl, (vl, vl * 2 + 1))[1]
+        # route each value to shard q // (m//d); owners add s_idx*1000;
+        # replies must land back at the original rows
+        tgt = (ql // (m // d)).astype(jnp.int32)
+        rv, (rq,), t_, sl_ = comm.exchange(
+            tgt, jnp.ones(ql.shape[0], bool), [ql]
+        )
+        ans = jnp.where(rv, rq + comm.s * 1000, -1)
+        outs["routed"] = comm.reply(t_, sl_, ans)
+        outs["sum"] = jnp.broadcast_to(
+            comm.sum_scalar(vl, jnp.int64), (m // d,)
+        )
+        return tuple(outs[k] for k in sorted(outs))
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("s"), P("s"), P("s"), P("s")),
+        out_specs=tuple([P("s")] * 10),
+        check_vma=False,
+    )
+    keys = sorted([
+        "iota", "cumsum", "tot", "cummax", "cummin_rev", "roll1",
+        "shiftup", "perm", "routed", "sum",
+    ])
+    got = dict(zip(keys, fn(jnp.asarray(x), jnp.asarray(v),
+                            jnp.asarray(dest), jnp.asarray(q))))
+    assert np.array_equal(got["iota"], np.arange(m))
+    assert np.array_equal(got["cumsum"], np.cumsum(x, axis=0))
+    assert np.array_equal(np.asarray(got["tot"]).reshape(d, 3)[0],
+                          x.sum(axis=0))
+    assert np.array_equal(got["cummax"], np.maximum.accumulate(x, axis=0))
+    assert np.array_equal(
+        got["cummin_rev"], np.minimum.accumulate(x[::-1], axis=0)[::-1]
+    )
+    assert np.array_equal(np.asarray(got["roll1"])[1:], v[:-1])
+    want_shift = np.concatenate([(v > 20)[1:], [True]]).astype(np.int32)
+    assert np.array_equal(got["shiftup"], want_shift)
+    want_perm = np.empty(m, np.int32)
+    want_perm[dest] = v * 2 + 1
+    assert np.array_equal(got["perm"], want_perm)
+    assert np.array_equal(
+        got["routed"], q + (q // (m // d)) * 1000
+    )
+    assert int(np.asarray(got["sum"])[0]) == int(v.sum())
