@@ -443,9 +443,11 @@ def bcr_batch_packed_impl(state, meta, pbuf, *, K, so, mpad):
         u=meta[1 + mpad : 1 + 2 * mpad],
         pk=meta[1 + 2 * mpad : 1 + 3 * mpad],
     )
-    # unpack nibbles: high nibble is the even position (values <= 6, so the
-    # int8 stays positive and shifts are exact)
-    buf = jnp.stack([pbuf >> 4, pbuf & 0xF], axis=1).reshape(-1)
+    # unpack nibbles PLANE-WISE: high nibbles hold buf[:half], low nibbles
+    # buf[half:], so the unpack is a full-width concat — any (N, 2)-shaped
+    # intermediate would be tile-padded 2 -> 128 lanes by XLA:TPU (64x HBM
+    # inflation, OOM-grade at 2^30-byte buffers)
+    buf = jnp.concatenate([pbuf >> 4, pbuf & 0xF])
     return bcr_batch_impl(state, reads, buf, n_rounds, K=K, so=so)
 
 
@@ -579,6 +581,10 @@ class TpuBwt:
         if (
             uniform
             and self.state.cap < (1 << 31) - 1
+            # pk offsets are int32: the aligned buffer (mpad * stride, which
+            # can exceed total symbols by 4-8x for short reads) must fit the
+            # same 2^30 bound the ragged path's pkdt guard enforces
+            and _pad_pow2(m) * _round_up(reads.shape[1] + 1, 8) <= (1 << 30)
             and os.environ.get("ROPEBWT2_TPU_PACKED", "1") != "0"
             and reads.min() >= 1
             and reads.max() <= 4
@@ -714,7 +720,10 @@ class TpuBwt:
             meta[1 : 1 + mpad] = l
             meta[1 + mpad : 1 + 2 * mpad] = u
             meta[1 + 2 * mpad : 1 + 3 * mpad] = pk
-            pbuf = (buf[0::2] << 4) | buf[1::2]  # values <= 6: stays exact
+            # plane-wise nibble pack (values <= 6: stays exact); bufcap is a
+            # power of two so the halves are exact
+            half = buf.shape[0] // 2
+            pbuf = (buf[:half] << 4) | buf[half:]
             state, _ = bcr_batch_packed(
                 self.state,
                 jnp.asarray(meta),

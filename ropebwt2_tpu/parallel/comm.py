@@ -56,9 +56,10 @@ class LocalComm:
 
     def permute(self, dest, arrays):
         dts = {a.dtype for a in arrays}
-        if len(dts) == 1:
-            # one row-scatter moves the whole payload (scatter op overhead
-            # dominates over width at these sizes)
+        # the stacked (M, k) scatter saves per-op overhead but its tiny
+        # minor dim is tile-padded k -> 128 lanes on TPU (HBM inflation
+        # ~128/k x): only worth it while the padded transient stays small
+        if len(dts) == 1 and arrays[0].shape[0] <= (1 << 18):
             stacked = jnp.stack(arrays, axis=1)
             out = jnp.zeros_like(stacked).at[dest].set(
                 stacked, unique_indices=True

@@ -259,7 +259,9 @@ class ShardedTpuBwt:
         lens = np.array([len(r) for r in reads], dtype=np.int32)
         total = int(lens.sum()) + m
         self._plan(total)
-        mpad = max(_pad_pow2(m), self.d)
+        # mpad must divide evenly across the mesh (ShardComm assumes exact
+        # ml = mpad / d); _pad_pow2 alone is not a multiple of non-pow2 d
+        mpad = _round_up(max(_pad_pow2(m), self.d), self.d)
         if mpad > self._lcap:  # drift guard: one round inserts <= mpad
             self._plan(self._n + total + mpad * self.d)
         strides = np.asarray(

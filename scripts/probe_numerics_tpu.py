@@ -21,7 +21,7 @@ fails = 0
 def check(tag, got, want, raw=False):
     """raw=True marks a RAW-BUG REPRODUCER: it feeds the miscompiling
     (M, small-c) f32 einsum directly and is EXPECTED to fail on this
-    toolchain — product code routes around it (scan.MXU_SAFE_ROWS).
+    toolchain — product code routes around it by pinning precision=HIGHEST on every exactness-critical contraction (scan._EXACT).
     Only guarded-primitive failures count toward the exit code."""
     global fails
     got = np.asarray(got)
