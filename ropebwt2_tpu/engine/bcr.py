@@ -38,6 +38,14 @@ from ..alphabet import NSYM
 from ..oracle import SO_IO, SO_RCLO, SO_RLO
 from ..index.flat import FlatBwt, empty_state, grow_state
 from ..index.merge import apply_insertions
+from ..index.pending import (
+    empty_pending,
+    pending_add,
+    pending_cap,
+    pending_flush_args,
+    rank_virtual,
+    reset_pending,
+)
 from ..index.rank import build_block_tables, rank_global
 from ..index.scan import _EXACT, cumsum_small
 
@@ -413,9 +421,90 @@ bcr_round = functools.partial(
 )(bcr_round_impl)
 
 
-def bcr_batch_impl(state, reads, buf, n_rounds, *, K, so):
+def _flush_pending(st: FlatBwt, pend, *, K):
+    """Apply the whole pending set to the base buffer in one merge pass
+    and reset the pending index.  st.n/psize/pcounts already reflect the
+    virtual totals (updated per round); only the buffer and its rank
+    tables change."""
+    pos, sym, stream, valid = pending_flush_args(pend)
+    n_base = st.n - pend.p.astype(st.n.dtype)
+    if _use_pallas_merge(st.cap, K):
+        from ..index.merge_pallas import merge_pallas
+
+        new_bwt, new_blk = merge_pallas(
+            st.bwt, pos, sym, stream, valid, n=n_base, K=K
+        )
+    else:
+        new_bwt = apply_insertions(st.bwt, n_base, pos, sym, stream, valid)
+        new_blk = build_block_tables(new_bwt, K, dtype=st.blk_prefix.dtype)
+    new_st = FlatBwt(
+        bwt=new_bwt, n=st.n, psize=st.psize, pcounts=st.pcounts,
+        blk_prefix=new_blk,
+    )
+    return new_st, reset_pending(pend)
+
+
+def bcr_batch_deferred_impl(state, reads, buf, n_rounds, *, K, so, defer_r,
+                            pcap):
+    """Run all rounds of one batch with multi-round insertion buffering:
+    the base buffer is frozen for ``defer_r`` rounds while insertions
+    accumulate in a sorted pending side index (index/pending.py); rank
+    queries are answered from base + pending; one coalesced merge flushes
+    the set every defer_r rounds.  Cuts the O(live prefix)-per-round merge
+    traffic by defer_r — the flat-layout answer to the reference rope's
+    O(log n)/symbol insertion economics (/root/reference/rope.c:114-148).
+
+    ``pcap`` must be >= defer_r * (max insertions per round)."""
+    nr = n_rounds.astype(I32)
+    pend0 = empty_pending(pcap, reads.l.dtype)
+
+    def outer(sidx, carry):
+        st, rd, pend = carry
+        bwt, blk = st.bwt, st.blk_prefix  # frozen through the inner loop
+        lo = sidx * defer_r
+
+        def inner(d, c):
+            (n, psize, pcounts), rd, pend = c
+            rank_fn = lambda g: rank_virtual(bwt, blk, pend, g, K)  # noqa: E731
+            new_rd, gX, sym, stream, active, ins_bucket, n_ins = plan_round(
+                psize, pcounts, rd, buf, d.astype(I32), d == 0, rank_fn,
+                so=so,
+            )
+            pend = pending_add(pend, gX, sym, stream, active)
+            return (
+                (n + n_ins, psize + jnp.sum(ins_bucket, axis=1),
+                 pcounts + ins_bucket),
+                new_rd,
+                pend,
+            )
+
+        (n, psize, pcounts), rd, pend = jax.lax.fori_loop(
+            lo, jnp.minimum(lo + defer_r, nr), inner,
+            ((st.n, st.psize, st.pcounts), rd, pend),
+        )
+        st = FlatBwt(bwt=bwt, n=n, psize=psize, pcounts=pcounts,
+                     blk_prefix=blk)
+        st, pend = _flush_pending(st, pend, K=K)
+        return st, rd, pend
+
+    n_super = (nr + defer_r - 1) // defer_r
+    st, rd, _ = jax.lax.fori_loop(
+        0, n_super, outer, (state, reads, pend0)
+    )
+    return st, rd
+
+
+def bcr_batch_impl(state, reads, buf, n_rounds, *, K, so, defer_r=0,
+                   pcap=0):
     """Run all rounds of one batch inside a single compiled call — one
-    device dispatch per batch instead of one per symbol column."""
+    device dispatch per batch instead of one per symbol column.  With
+    defer_r > 0, route through the deferred-merge loop (see
+    bcr_batch_deferred_impl)."""
+    if defer_r > 0:
+        return bcr_batch_deferred_impl(
+            state, reads, buf, n_rounds, K=K, so=so, defer_r=defer_r,
+            pcap=pcap,
+        )
 
     def body(d, carry):
         st, rd = carry
@@ -428,11 +517,13 @@ def bcr_batch_impl(state, reads, buf, n_rounds, *, K, so):
 
 
 bcr_batch = functools.partial(
-    jax.jit, static_argnames=("K", "so"), donate_argnums=(0, 1)
+    jax.jit, static_argnames=("K", "so", "defer_r", "pcap"),
+    donate_argnums=(0, 1),
 )(bcr_batch_impl)
 
 
-def bcr_batch_packed_impl(state, meta, pbuf, *, K, so, mpad):
+def bcr_batch_packed_impl(state, meta, pbuf, *, K, so, mpad, defer_r=0,
+                          pcap=0):
     """bcr_batch with host->device traffic minimized for the tunneled-TPU
     deployment (~84 MB/s, ~30 ms RTT measured): the read buffer arrives
     nibble-packed (two nt6 symbols per byte) and the whole read state plus
@@ -448,15 +539,18 @@ def bcr_batch_packed_impl(state, meta, pbuf, *, K, so, mpad):
     # intermediate would be tile-padded 2 -> 128 lanes by XLA:TPU (64x HBM
     # inflation, OOM-grade at 2^30-byte buffers)
     buf = jnp.concatenate([pbuf >> 4, pbuf & 0xF])
-    return bcr_batch_impl(state, reads, buf, n_rounds, K=K, so=so)
+    return bcr_batch_impl(state, reads, buf, n_rounds, K=K, so=so,
+                          defer_r=defer_r, pcap=pcap)
 
 
 bcr_batch_packed = functools.partial(
-    jax.jit, static_argnames=("K", "so", "mpad"), donate_argnums=(0,)
+    jax.jit, static_argnames=("K", "so", "mpad", "defer_r", "pcap"),
+    donate_argnums=(0,),
 )(bcr_batch_packed_impl)
 
 
-def bcr_batch_uniform_impl(state, blob, *, K, so, mpad, L, stride):
+def bcr_batch_uniform_impl(state, blob, *, K, so, mpad, L, stride,
+                           defer_r=0, pcap=0):
     """Minimum-transfer path for uniform-length ACGT-only batches (the
     dominant short-read shape): the ONLY per-batch host->device transfer is
     ``blob`` = 2-bit-packed read matrix (4 symbols/byte, reversed, code-1)
@@ -507,12 +601,13 @@ def bcr_batch_uniform_impl(state, blob, *, K, so, mpad, L, stride):
         l = jnp.zeros(mpad, I32)
         u = jnp.where(real, n_sent, 0)
     reads = ReadStates(l=l, u=u, pk=pk)
-    return bcr_batch_impl(state, reads, buf, L + 1, K=K, so=so)
+    return bcr_batch_impl(state, reads, buf, jnp.asarray(L + 1, I64), K=K,
+                          so=so, defer_r=defer_r, pcap=pcap)
 
 
 bcr_batch_uniform = functools.partial(
     jax.jit,
-    static_argnames=("K", "so", "mpad", "L", "stride"),
+    static_argnames=("K", "so", "mpad", "L", "stride", "defer_r", "pcap"),
     donate_argnums=(0,),
 )(bcr_batch_uniform_impl)
 
@@ -535,7 +630,7 @@ class TpuBwt:
     (insert1, via one-read batches), incremental growth across batches, and
     export of the BWT / runs for the output formats."""
 
-    def __init__(self, so=SO_IO, K=256):
+    def __init__(self, so=SO_IO, K=256, defer_r=None):
         assert so in (SO_IO, SO_RLO, SO_RCLO)
         self.so = so
         self.K = K
@@ -545,6 +640,30 @@ class TpuBwt:
         # tunneled TPU backend, seconds)
         self._n = 0  # total symbols
         self._n_strings = 0  # total strings (== sentinel count)
+        # deferred-merge depth: -1 = auto (scale R with live-prefix/batch
+        # ratio), 0 = merge every round, >0 = fixed R
+        if defer_r is None:
+            defer_r = int(os.environ.get("ROPEBWT2_TPU_DEFER_R", "-1"))
+        self._defer_cfg = defer_r
+
+    def _choose_defer(self, mpad):
+        """(defer_r, pcap) for the next batch.  Auto mode balances the two
+        per-round costs: full-prefix merge ~ n * c_merge / R against
+        pending-side vector work ~ R * mpad * c_pend, giving
+        R* = sqrt((c_merge/c_pend) * n / mpad); clamped to powers of two so
+        a growing index recompiles the batch program at most ~7 times."""
+        if self._defer_cfg >= 0:
+            r = self._defer_cfg
+        else:
+            import math
+
+            ratio = 0.15 * self._n / max(mpad, 1)
+            r = int(math.sqrt(ratio)) if ratio >= 1 else 0
+            if r > 0:
+                r = 1 << min(6, (r - 1).bit_length())  # pow2 >= r, <= 64
+        if r <= 1:
+            return 0, 0
+        return r, pending_cap(mpad, r)
 
     # --- capacity planning ---
 
@@ -644,6 +763,7 @@ class TpuBwt:
         scal[1] = self._n_strings
         assert self._n_strings < (1 << 31)
         blob = np.concatenate([packed, scal.view(np.uint8)])
+        defer_r, pcap = self._choose_defer(mpad)
         state, _ = bcr_batch_uniform(
             self.state,
             jnp.asarray(blob),
@@ -652,6 +772,8 @@ class TpuBwt:
             mpad=mpad,
             L=L,
             stride=stride,
+            defer_r=defer_r,
+            pcap=pcap,
         )
         self.state = state
         self._n += total
@@ -724,6 +846,7 @@ class TpuBwt:
             # power of two so the halves are exact
             half = buf.shape[0] // 2
             pbuf = (buf[:half] << 4) | buf[half:]
+            defer_r, pcap = self._choose_defer(mpad)
             state, _ = bcr_batch_packed(
                 self.state,
                 jnp.asarray(meta),
@@ -731,6 +854,8 @@ class TpuBwt:
                 K=self.K,
                 so=self.so,
                 mpad=mpad,
+                defer_r=defer_r,
+                pcap=pcap,
             )
         else:
             rs = ReadStates(
@@ -738,6 +863,7 @@ class TpuBwt:
                 u=jnp.asarray(u),
                 pk=jnp.asarray(pk),
             )
+            defer_r, pcap = self._choose_defer(mpad)
             state, _ = bcr_batch(
                 self.state,
                 rs,
@@ -745,6 +871,8 @@ class TpuBwt:
                 jnp.asarray(max_len + 1, dtype=I64),
                 K=self.K,
                 so=self.so,
+                defer_r=defer_r,
+                pcap=pcap,
             )
         self.state = state
         self._n += total

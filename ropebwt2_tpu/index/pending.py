@@ -1,0 +1,197 @@
+"""Pending-insertion side index: multi-round insertion buffering.
+
+The flat-rebuild design pays O(live prefix) per BCR round (every round
+rewrites the whole buffer), where the reference's rope pays O(log n) per
+symbol (rope.c:114-148).  At Gsym scale that makes the merge the entire
+cost.  This module defers the rewrite: the base buffer (and its rank
+tables) stays FROZEN for R rounds while insertions accumulate in a sorted
+side index; rank queries against the virtual (base + pending) sequence are
+answered as
+
+    rank_virtual(g) = rank_base(g - p) + pending_prefix(p),
+    p = |{ i : vp[i] < g }|  (searchsorted into the sorted vp array)
+
+because the first g virtual positions contain exactly p pending symbols
+and g - p base symbols (base order is preserved by insertion).  Every R
+rounds the pending set is flushed into the base with ONE coalesced merge
+pass — dividing the full-prefix merge traffic by R at the cost of
+O(P)-sized vector work per round (P <= R * batch rows).
+
+Representation (all device-resident, static capacity Pcap):
+
+* ``vp``   int[Pcap]  virtual positions of the pending insertions in the
+           CURRENT coordinate system, strictly increasing; rows >= P hold
+           an INF sentinel (> any valid position).
+* ``psym`` int8[Pcap] inserted symbols; PAD (=6) beyond P.
+* ``blk_prefix`` int32[Pcap//KP+1, 6] per-symbol prefix counts at KP-block
+           boundaries of psym — the same rank structure as the base buffer
+           (index/rank.py), rebuilt after each round's merge-in.
+* ``p``    int32 scalar, live count.
+
+Merging one round's insertions (gX = old-coordinate insertion points,
+stream = tie ranks; dest = gX + stream are the unique NEW-coordinate
+positions) into the pending set is a merge of two sorted sequences,
+computed without a comparison sort:
+
+1. dest, ordered by stream, is already sorted ascending (dest is strictly
+   increasing in stream) -> ONE M-sized scatter produces the sorted new
+   block qs (INF-filled beyond the round's A live insertions).
+2. old pending rows shift by s[i] = |{ j : gX[j] <= vp[i] }| (the standard
+   old-element shift of a batch insertion): one searchsorted of gX into
+   vp gives each insertion's first affected row, a histogram + inclusive
+   cumsum turns that into s.
+3. the merged order interleaves old rows (at vp + s) and new rows (at qs),
+   which are disjoint position sets: t[j] = searchsorted(vp + s, qs[j])
+   places new row j at merged slot j + t[j], and the same histogram trick
+   on t places old row i at slot i + r[i], r[i] = |{ live j : t[j] <= i }|.
+
+Flushing the pending set into the base reuses the normal merge machinery
+verbatim: row i is an insertion at base position vp[i] - i with tie rank i
+(destination vp[i] - i + i = vp[i], its virtual position — by definition).
+
+Matches the role of the reference's rope buffering economics
+(/root/reference/rope.c:114-148, mrope.c:299-342); no structural
+counterpart exists in the reference — this is the TPU re-expression.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..alphabet import NSYM
+from .flat import PAD
+from .rank import build_block_tables, rank_global
+from .scan import cumsum_blocked
+
+KP = 128  # pending rank-table block size (one gather lane row per query)
+I32 = jnp.int32
+
+
+def _inf(pdt):
+    """Sentinel for empty vp rows: above any valid position, with enough
+    headroom that sentinel + per-cycle shifts never overflow (shifts are
+    clamped back to INF every round)."""
+    return jnp.iinfo(pdt).max - (1 << 28)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PendingIndex:
+    vp: jax.Array  # pdt[Pcap] sorted virtual positions (INF sentinels)
+    psym: jax.Array  # int8[Pcap] symbols (PAD sentinels)
+    blk_prefix: jax.Array  # int32[Pcap//KP+1, 6]
+    p: jax.Array  # int32 scalar live count
+
+    @property
+    def cap(self) -> int:
+        return self.vp.shape[0]
+
+
+def pending_cap(max_rows_per_round: int, R: int) -> int:
+    """Static pending capacity for R rounds of <= max_rows_per_round
+    insertions, padded to the lcm of the scan window (256) and KP."""
+    need = max(max_rows_per_round * R, 256)
+    return -(-need // 256) * 256
+
+
+def empty_pending(pcap: int, pdt) -> PendingIndex:
+    assert pcap % 256 == 0 and pcap % KP == 0
+    return PendingIndex(
+        vp=jnp.full((pcap,), _inf(pdt), dtype=pdt),
+        psym=jnp.full((pcap,), PAD, dtype=jnp.int8),
+        blk_prefix=jnp.zeros((pcap // KP + 1, NSYM), dtype=I32),
+        p=jnp.zeros((), dtype=I32),
+    )
+
+
+def reset_pending(pend: PendingIndex) -> PendingIndex:
+    pdt = pend.vp.dtype
+    return PendingIndex(
+        vp=jnp.full_like(pend.vp, _inf(pdt)),
+        psym=jnp.full_like(pend.psym, PAD),
+        blk_prefix=jnp.zeros_like(pend.blk_prefix),
+        p=jnp.zeros_like(pend.p),
+    )
+
+
+def rank_virtual(bwt, blk_prefix, pend: PendingIndex, g, K: int):
+    """6-symbol rank of the virtual (base + pending) sequence at positions
+    ``g`` (0 <= g <= n_virtual).  Returns (Q, 6) in blk_prefix's dtype."""
+    p = jnp.searchsorted(pend.vp, g.astype(pend.vp.dtype), side="left")
+    base = rank_global(bwt, blk_prefix, g - p.astype(g.dtype), K)
+    extra = rank_global(pend.psym, pend.blk_prefix, p.astype(I32), KP)
+    return base + extra.astype(base.dtype)
+
+
+def pending_add(pend: PendingIndex, gX, sym, stream, active) -> PendingIndex:
+    """Merge one round's insertions into the pending set (see module doc).
+
+    gX/stream: int[M] old-coordinate insertion points and tie ranks (tie
+    ranks unique in [0, A) over the A active rows, dest = gX + stream
+    strictly increasing in stream).  sym: int32[M].  active: bool[M]."""
+    pcap = pend.cap
+    pdt = pend.vp.dtype
+    m = gX.shape[0]
+    INF = _inf(pdt)
+    vp = pend.vp
+
+    # 1. sorted new block via one scatter keyed by tie rank
+    slot = jnp.where(active, stream, m).astype(I32)
+    qs = jnp.full((m,), INF, dtype=pdt)
+    qs = qs.at[slot].set(
+        jnp.where(active, gX + stream, INF), mode="drop",
+        unique_indices=True,
+    )
+    qsym = jnp.full((m,), PAD, dtype=jnp.int8)
+    qsym = qsym.at[slot].set(
+        jnp.where(active, sym, PAD).astype(jnp.int8), mode="drop",
+        unique_indices=True,
+    )
+    qlive = qs < INF
+
+    # 2. old-row shifts s[i] = |{ j : gX[j] <= vp[i] }|
+    gq = jnp.where(active, gX, INF).astype(pdt)
+    k = jnp.searchsorted(vp, gq, side="left").astype(I32)  # first i with vp[i] >= gX[j]
+    hist = jnp.zeros((pcap,), I32)
+    hist = hist.at[jnp.where(active, k, pcap)].add(1, mode="drop")
+    s = cumsum_blocked(hist)  # s[i] = #{ j : k[j] <= i }
+    vps = jnp.minimum(vp + s.astype(pdt), INF)  # shifted old rows (sorted)
+
+    # 3. interleave ranks
+    t = jnp.searchsorted(vps, qs, side="left").astype(I32)  # per new row
+    hist2 = jnp.zeros((pcap,), I32)
+    hist2 = hist2.at[jnp.where(qlive, t, pcap)].add(1, mode="drop")
+    r = cumsum_blocked(hist2)  # r[i] = #{ live j : t[j] <= i }
+
+    # 4. place both blocks (disjoint slots; sentinel collisions all write
+    # INF/PAD and are harmless)
+    iota = jnp.arange(pcap, dtype=I32)
+    new_vp = jnp.full((pcap,), INF, dtype=pdt)
+    new_sym = jnp.full((pcap,), PAD, dtype=jnp.int8)
+    old_slot = iota + r
+    new_vp = new_vp.at[old_slot].set(vps, mode="drop")
+    new_sym = new_sym.at[old_slot].set(pend.psym, mode="drop")
+    jq = jnp.arange(m, dtype=I32)
+    new_slot = jnp.where(qlive, jq + t, pcap)
+    new_vp = new_vp.at[new_slot].set(qs, mode="drop")
+    new_sym = new_sym.at[new_slot].set(qsym, mode="drop")
+
+    n_new = jnp.sum(qlive, dtype=I32)
+    return PendingIndex(
+        vp=new_vp,
+        psym=new_sym,
+        blk_prefix=build_block_tables(new_sym, KP, dtype=I32),
+        p=pend.p + n_new,
+    )
+
+
+def pending_flush_args(pend: PendingIndex):
+    """(pos, sym, stream, valid) for apply_insertions/merge_pallas: row i
+    is an insertion at base position vp[i] - i with tie rank i."""
+    pcap = pend.cap
+    pdt = pend.vp.dtype
+    iota = jnp.arange(pcap, dtype=pdt)
+    valid = iota < pend.p.astype(pdt)
+    pos = jnp.where(valid, pend.vp - iota, 0)
+    return pos, pend.psym.astype(I32), iota, valid
