@@ -139,18 +139,20 @@ def main(argv=None) -> int:
         except (EOFError, ValueError) as e:
             log.error("main", "fail to read FMR file '%s': %s", restore_path, e)
             return 1
-    if bwt is None:
-        if os.environ.get("ROPEBWT2_TPU_SHARDED", "0") == "1":
-            import jax
+    if os.environ.get("ROPEBWT2_TPU_SHARDED", "0") == "1":
+        import jax
 
-            from .parallel.sharded import ShardedTpuBwt
+        from .parallel.sharded import ShardedTpuBwt
 
-            log.message(
-                "main", "sharded engine over %d devices", len(jax.devices())
-            )
+        log.message(
+            "main", "sharded engine over %d devices", len(jax.devices())
+        )
+        if bwt is None:
             bwt = ShardedTpuBwt(so=so)
-        else:
-            bwt = TpuBwt(so=so)
+        else:  # -i restore: re-shard the restored flat index
+            bwt = ShardedTpuBwt.from_single(bwt)
+    elif bwt is None:
+        bwt = TpuBwt(so=so)
 
     ct, rt = log.cputime(), log.realtime()
     in_path = args[0] if args else None

@@ -66,6 +66,47 @@ from .scan import cumsum_blocked
 
 KP = 128  # pending rank-table block size (one gather lane row per query)
 I32 = jnp.int32
+_F = 128  # searchsorted_blocked fanout (one gather lane row per level)
+
+
+def searchsorted_blocked(vp, g):
+    """count[q] = |{ i : vp[i] < g[q] }| for sorted ``vp`` — the
+    side='left' searchsorted.  jnp.searchsorted lowers to a log2(N)-step
+    while-loop of dynamic gathers that measures ~144 ms at (N=2^21,
+    Q=2^18) on the v5e (scripts/probe_pending_tpu.py); this blocked
+    descent — the same structure as the BWT rank path (index/rank.py) —
+    does ceil(log128(N)) - 1 row gathers of (Q, 128) plus vectorized
+    compare-counts, ~1 ms at the same shape.
+
+    Descent invariant: for sorted a and heads h = a[::F], the F-block of
+    ``a`` containing the last element < g is j = max(#(h < g) - 1, 0), and
+    the final count is j*F + #(a[j*F:(j+1)*F] < g).  Requires len(vp) to
+    be a multiple of 128; tail rows must hold +INF-like sentinels (they do:
+    vp is INF-filled beyond p)."""
+    n = vp.shape[0]
+    assert n % _F == 0, n
+    levels = [vp]
+    while levels[-1].shape[0] > _F:
+        nxt = levels[-1][::_F]
+        if nxt.shape[0] % _F and nxt.shape[0] > _F:
+            pad = _F - nxt.shape[0] % _F
+            nxt = jnp.concatenate(
+                [nxt, jnp.full((pad,), jnp.iinfo(vp.dtype).max, vp.dtype)]
+            )
+        levels.append(nxt)
+    gq = g[:, None].astype(vp.dtype)
+    top = levels[-1]
+    cnt = jnp.sum(top[None, :] < gq, axis=1, dtype=I32)  # (Q,)
+    j = jnp.maximum(cnt - 1, 0)
+    for lvl in levels[-2::-1]:
+        rows = lvl.reshape(-1, _F)[j]  # (Q, F) gather
+        c = jnp.sum(rows < gq, axis=1, dtype=I32)
+        j = jnp.maximum(j * _F + c - 1, 0)
+    # the last iteration above ended at vp itself: recover the count from
+    # the final block index + in-block count (j currently = count - 1
+    # clamped at 0; disambiguate count 0 with one more compare of vp[0])
+    zero = vp[0] >= g.astype(vp.dtype)
+    return jnp.where(zero, 0, j + 1).astype(I32)
 
 
 def _inf(pdt):
@@ -118,7 +159,7 @@ def reset_pending(pend: PendingIndex) -> PendingIndex:
 def rank_virtual(bwt, blk_prefix, pend: PendingIndex, g, K: int):
     """6-symbol rank of the virtual (base + pending) sequence at positions
     ``g`` (0 <= g <= n_virtual).  Returns (Q, 6) in blk_prefix's dtype."""
-    p = jnp.searchsorted(pend.vp, g.astype(pend.vp.dtype), side="left")
+    p = searchsorted_blocked(pend.vp, g)
     base = rank_global(bwt, blk_prefix, g - p.astype(g.dtype), K)
     extra = rank_global(pend.psym, pend.blk_prefix, p.astype(I32), KP)
     return base + extra.astype(base.dtype)
@@ -152,14 +193,14 @@ def pending_add(pend: PendingIndex, gX, sym, stream, active) -> PendingIndex:
 
     # 2. old-row shifts s[i] = |{ j : gX[j] <= vp[i] }|
     gq = jnp.where(active, gX, INF).astype(pdt)
-    k = jnp.searchsorted(vp, gq, side="left").astype(I32)  # first i with vp[i] >= gX[j]
+    k = searchsorted_blocked(vp, gq)  # first i with vp[i] >= gX[j]
     hist = jnp.zeros((pcap,), I32)
     hist = hist.at[jnp.where(active, k, pcap)].add(1, mode="drop")
     s = cumsum_blocked(hist)  # s[i] = #{ j : k[j] <= i }
     vps = jnp.minimum(vp + s.astype(pdt), INF)  # shifted old rows (sorted)
 
     # 3. interleave ranks
-    t = jnp.searchsorted(vps, qs, side="left").astype(I32)  # per new row
+    t = searchsorted_blocked(vps, qs)  # per new row
     hist2 = jnp.zeros((pcap,), I32)
     hist2 = hist2.at[jnp.where(qlive, t, pcap)].add(1, mode="drop")
     r = cumsum_blocked(hist2)  # r[i] = #{ live j : t[j] <= i }

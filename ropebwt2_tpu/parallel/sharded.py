@@ -207,6 +207,24 @@ class ShardedTpuBwt:
         self._n_strings = 0
         self.state = None  # created lazily at first plan
         self._lcap = 0
+        self._seed = None  # (flat_bwt, psize, pcounts) from a restore
+
+    @classmethod
+    def from_single(cls, single, mesh=None):
+        """Adopt a single-device TpuBwt's index (the FMR ``-i`` restore
+        path, mr_restore -> distributed engine): the flat BWT is re-sharded
+        by position range at the next capacity plan."""
+        eng = cls(so=single.so, K=single.K, mesh=mesh)
+        eng._n = single._n
+        eng._n_strings = single._n_strings
+        eng._seed = (
+            single.bwt_array(),
+            np.asarray(single.state.psize),
+            np.asarray(single.state.pcounts),
+        )
+        eng._plan(0)  # install the sharded state now (counts()/export work
+        # even if no further batch is inserted)
+        return eng
 
     # --- capacity planning (host-side; re-sharding copies the buffer) ---
 
@@ -217,7 +235,19 @@ class ShardedTpuBwt:
         lcap = _round_up(
             _pad_pow2(-(-need // self.d), lo=max(self.K, 4096)), self.K
         )
-        old = self.bwt_array() if self.state is not None else None
+        if self.state is not None:
+            old, old_psize, old_pcounts = (
+                self.bwt_array(),
+                np.asarray(self.state.psize),
+                np.asarray(self.state.pcounts),
+            )
+        elif self._seed is not None:
+            old, old_psize, old_pcounts = self._seed
+            self._seed = None
+        else:
+            old = None
+            old_psize = np.zeros(NSYM, np.int64)
+            old_pcounts = np.zeros((NSYM, NSYM), np.int64)
         cap = lcap * self.d
         flat = np.full(cap, PAD, dtype=np.int8)
         if old is not None:
@@ -231,16 +261,7 @@ class ShardedTpuBwt:
             [np.zeros((1, NSYM), np.int64), np.cumsum(tot, axis=0)[:-1]]
         )
         blkp = np.asarray(local) + run[:, None, :]
-        psize = (
-            np.asarray(self.state.psize)
-            if self.state is not None
-            else np.zeros(NSYM, np.int64)
-        )
-        pcounts = (
-            np.asarray(self.state.pcounts)
-            if self.state is not None
-            else np.zeros((NSYM, NSYM), np.int64)
-        )
+        psize, pcounts = old_psize, old_pcounts
         sh = NamedSharding(self.mesh, P(AXIS))
         rep = NamedSharding(self.mesh, P())
         self.state = ShardedBwt(

@@ -78,3 +78,26 @@ def test_deferred_vs_reference(rng, ref_binary):
     lut = np.frombuffer(b"$ACGTN", np.uint8)
     got = lut[eng.bwt_array()].tobytes() + b"\n"
     assert got == want
+
+
+@pytest.mark.parametrize("n", [256, 1 << 12, 1 << 15, (1 << 15) + 128])
+@pytest.mark.parametrize("dtype", [np.int32, np.int64])
+def test_searchsorted_blocked_vs_numpy(rng, n, dtype):
+    import jax.numpy as jnp
+
+    from ropebwt2_tpu.index.pending import searchsorted_blocked
+
+    inf = np.iinfo(dtype).max - (1 << 28)
+    fill = rng.integers(0, n)
+    vp = np.full(n, inf, dtype)
+    vp[:fill] = np.sort(rng.integers(0, 5 * n, fill)).astype(dtype)
+    q = np.concatenate(
+        [
+            rng.integers(0, 5 * n, 500),
+            vp[:fill][rng.integers(0, max(fill, 1), 100)] if fill else [],
+            [0, 1, 5 * n, inf - 1],
+        ]
+    ).astype(dtype)
+    got = np.asarray(searchsorted_blocked(jnp.asarray(vp), jnp.asarray(q)))
+    want = np.searchsorted(vp, q, side="left")
+    assert np.array_equal(got, want)

@@ -145,3 +145,66 @@ def test_shardcomm_primitives_vs_numpy():
         got["routed"], q + (q // (m // d)) * 1000
     )
     assert int(np.asarray(got["sum"])[0]) == int(v.sum())
+
+
+def test_sharded_restore_from_single(rng):
+    """FMR -i restore into the sharded engine: adopt a single-device index,
+    insert more batches, match an all-single-device build byte-for-byte."""
+    from ropebwt2_tpu.parallel.sharded import ShardedTpuBwt
+
+    reads = random_reads(rng, n=48, lo=4, hi=20)
+    base = TpuBwt(so=SO_RLO, K=256)
+    base.insert_multi(reads[:24])
+
+    sharded = _make(SO_RLO)
+    sharded = ShardedTpuBwt.from_single(base, mesh=sharded.mesh)
+    # export works immediately after restore (no batch inserted yet)
+    assert int(sharded.counts()[0]) == 24
+    sharded.insert_multi(reads[24:])
+
+    single = TpuBwt(so=SO_RLO, K=256)
+    single.insert_multi(reads[:24])
+    single.insert_multi(reads[24:])
+    assert np.array_equal(sharded.bwt_array(), single.bwt_array())
+    assert np.array_equal(sharded.counts(), single.counts())
+
+
+def test_sharded_cli_restore(ref_binary, rng, tmp_path):
+    """CLI -i FILE with ROPEBWT2_TPU_SHARDED=1: restore + incremental build
+    must match the reference binary doing the same two-step build."""
+    import os
+    import subprocess
+    import sys
+
+    from conftest import reads_to_lines, run_ref
+
+    reads = random_reads(rng, n=30, lo=4, hi=15)
+    d1 = reads_to_lines(reads[:15])
+    d2 = reads_to_lines(reads[15:])
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        ROPEBWT2_TPU_SHARDED="1",
+    )
+    fmr = str(tmp_path / "step1.fmr")
+    r1 = subprocess.run(
+        [sys.executable, "-m", "ropebwt2_tpu.cli", "-LRsb", "-o", fmr, "-"],
+        input=d1, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        cwd=repo, env=env,
+    )
+    assert r1.returncode == 0, r1.stderr.decode()
+    r2 = subprocess.run(
+        [sys.executable, "-m", "ropebwt2_tpu.cli", "-LR", "-i", fmr, "-"],
+        input=d2, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        cwd=repo, env=env,
+    )
+    assert r2.returncode == 0, r2.stderr.decode()
+    assert b"sharded engine over 8 devices" in r2.stderr
+
+    ref_fmr = str(tmp_path / "ref.fmr")
+    run_ref(ref_binary, ["-LRsb", "-o", ref_fmr, "-"], d1)
+    want = run_ref(ref_binary, ["-LR", "-i", ref_fmr, "-"], d2)
+    assert r2.stdout == want
