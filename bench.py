@@ -1,24 +1,31 @@
 #!/usr/bin/env python
-"""Benchmark: BCR construction throughput on the attached TPU chip.
+"""Benchmark: BCR construction + FM-query throughput on the attached TPU.
 
-Headline metric: symbols inserted per second per chip, RLO mode, on a
-simulated short-read batch — directly comparable to the reference's worm
-RLO row (66.8M x 100bp in 506 s wall on a 48-core Xeon = 13.2 Msym/s,
-BASELINE.md).  Prints exactly one JSON line on stdout.
+Reports BOTH construction regimes plus the query metric (BASELINE.json's
+metric is "symbols inserted/sec/chip; rank queries/sec"):
+
+* batch regime — one batch into an EMPTY index (live prefix ~ batch); the
+  headline `value`, comparable to BENCH_r01/r02.
+* sustained — the same batch size inserted into an index prefilled to
+  PREFILL_X times the batch (the full-build regime the reference's worm
+  numbers measure; SCALE_r0N.json is the Gsym-scale version).
+* rank queries/sec — batched 6-symbol rank over the built index.
+
+Baseline: the reference's worm RLO row (66.8M x 100bp in 506 s wall on a
+48-core Xeon = 13.2 Msym/s, BASELINE.md).  Prints exactly one JSON line.
 
 Built to be un-timeout-able: the device work runs in a watchdog subprocess
-that STREAMS a RESULT line after the warmup run (compile included — a
-degraded but honest number) and after every timed run.  The parent keeps
+that STREAMS a RESULT line after every stage (warmup, each timed run, the
+sustained stage, the query stage — each strictly richer); the parent keeps
 the freshest line, kills the child shortly before the budget expires, and
-reports the best number seen.  If the chip produces nothing at all (wedged
-device, failed compile), a small CPU run provides a clearly-labeled
-last-resort number — value 0.0 only happens if even CPU can't run.
+reports the best seen.  If the chip produces nothing at all, a small CPU
+run provides a clearly-labeled last-resort number.
 
 Env knobs: BENCH_M (#reads), BENCH_L (read length), BENCH_SO (0/1/2),
-BENCH_RUNS (timed runs, default 5 — the tunneled chip shows sporadic
-~0.3-0.5 s per-run overhead windows; the best-of over more runs is the
-honest estimator of device cost), BENCH_TIMEOUT (seconds, default 1500),
-BENCH_CPU=1 (force local CPU).
+BENCH_RUNS (timed runs, default 5), BENCH_PREFILL_X (default 8),
+BENCH_SUSTAIN_RUNS (default 2), BENCH_TIMEOUT (seconds, default 1500),
+BENCH_CPU=1 (force local CPU), BENCH_K (block size, default 128 = the
+engine default).
 """
 
 import json
@@ -39,7 +46,9 @@ def inner():
     L = int(os.environ.get("BENCH_L", 101))
     so = int(os.environ.get("BENCH_SO", 1))
     runs = int(os.environ.get("BENCH_RUNS", 5))
-    K = int(os.environ.get("BENCH_K", 128))  # 128 measures ~4% faster than 256
+    K = int(os.environ.get("BENCH_K", 128))
+    prefill_x = int(os.environ.get("BENCH_PREFILL_X", 8))
+    sustain_runs = int(os.environ.get("BENCH_SUSTAIN_RUNS", 2))
 
     import jax
 
@@ -65,39 +74,130 @@ def inner():
         assert int(cnt[0]) == M and int(cnt.sum()) == syms, "self-check failed"
         return dt
 
-    def report(t, degraded, nrun):
+    state = {"batch_t": None, "batch_runs": 0, "degraded": None,
+             "sustained": None, "rank": None}
+
+    def report():
+        t = state["batch_t"]
         value = syms / t
+        detail = {
+            "reads": M,
+            "read_len": L,
+            "sorting_order": so,
+            "K": K,
+            "wall_s": round(t, 4),
+            "device": devs,
+            "timed_runs": state["batch_runs"],
+            "regime": "batch (one batch into an empty index)",
+            "baseline":
+                "ropebwt2 -brRm10g worm 13.2 Msym/s wall (README.md:176)",
+        }
+        if state["sustained"] is not None:
+            sv = state["sustained"]
+            detail["sustained"] = {
+                "value": round(sv["thr"], 1),
+                "unit": "symbols/s/chip",
+                "vs_baseline": round(sv["thr"] / BASELINE, 3),
+                "prefill_symbols": sv["prefill_sym"],
+                "timed_batches": sv["batches"],
+                "regime":
+                    f"batches into a ~{prefill_x}x-batch prefilled index",
+            }
+        if state["rank"] is not None:
+            rv = state["rank"]
+            detail["rank_queries"] = {
+                "value": round(rv["qps"], 1),
+                "unit": "queries/s/chip (6-symbol rank, batched)",
+                "index_symbols": rv["n"],
+                "batch_queries": rv["q"],
+            }
         obj = {
             "metric": METRIC,
             "value": round(value, 1),
             "unit": "symbols/s/chip",
             "vs_baseline": round(value / BASELINE, 3),
-            "detail": {
-                "reads": M,
-                "read_len": L,
-                "sorting_order": so,
-                "wall_s": round(t, 4),
-                "device": devs,
-                "timed_runs": nrun,
-                "baseline":
-                    "ropebwt2 -brRm10g worm 13.2 Msym/s wall (README.md:176)",
-            },
+            "detail": detail,
         }
-        if degraded:
-            obj["degraded"] = degraded
+        if state["degraded"]:
+            obj["degraded"] = state["degraded"]
         print("RESULT " + json.dumps(obj), flush=True)
 
     t_warm = run()  # compile (persistent-cached) + run
     print(f"[bench] warmup(+compile): {t_warm:.1f}s on {devs}",
           file=sys.stderr)
-    report(t_warm, "warmup-includes-compile", 0)
+    state["batch_t"] = t_warm
+    state["degraded"] = "warmup-includes-compile"
+    report()
     best = None
     for i in range(runs):
         t = run()
         best = t if best is None else min(best, t)
         print(f"[bench] run {i + 1}/{runs}: {t:.3f}s (best {best:.3f}s)",
               file=sys.stderr)
-        report(best, None if i == runs - 1 else "partial", i + 1)
+        state["batch_t"] = best
+        state["batch_runs"] = i + 1
+        state["degraded"] = "batch-stage-partial" if i < runs - 1 else \
+            "sustained-stage-pending"
+        report()
+
+    # ---- sustained regime ----
+    eng = TpuBwt(so=so, K=K)
+    eng._plan((prefill_x + sustain_runs + 1) * syms)
+    t0 = time.time()
+    for i in range(prefill_x):
+        eng.insert_multi(reads)
+    eng.counts()
+    print(f"[bench] prefill {prefill_x} batches: {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    walls = []
+    for i in range(sustain_runs):
+        t0 = time.time()
+        eng.insert_multi(reads)
+        eng.counts()
+        walls.append(time.time() - t0)
+        print(f"[bench] sustained run {i+1}/{sustain_runs}: {walls[-1]:.2f}s",
+              file=sys.stderr)
+    state["sustained"] = {
+        "thr": syms / min(walls),
+        "prefill_sym": prefill_x * syms,
+        "batches": sustain_runs,
+    }
+    state["degraded"] = "rank-stage-pending"
+    report()
+
+    # ---- rank queries/sec over the built index ----
+    import jax.numpy as jnp
+
+    from ropebwt2_tpu.index.rank import rank_global
+
+    n = int(eng.counts().sum())
+    Q = 1 << 18
+    iters = 32
+    qpos = jnp.asarray(
+        np.sort(rng.integers(0, n, Q)).astype(np.int32)
+    )
+    st = eng.state
+    bwt, blk = st.bwt, st.blk_prefix
+
+    @jax.jit
+    def qloop(g):
+        def body(i, g):
+            occ = rank_global(bwt, blk, g, K)
+            return jnp.clip(g + (occ[:, 0] & 1), 0, n - 1)
+        return jax.lax.fori_loop(0, iters, body, g)
+
+    np.asarray(qloop(qpos))  # compile + run
+    best_q = None
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(qloop(qpos))
+        dt = time.time() - t0
+        best_q = dt if best_q is None else min(best_q, dt)
+    state["rank"] = {"qps": Q * iters / best_q, "n": n, "q": Q}
+    state["degraded"] = None
+    print(f"[bench] rank: {Q*iters/best_q/1e6:.1f} Mq/s over n={n/1e6:.0f}M",
+          file=sys.stderr)
+    report()
 
 
 def run_child(extra_env, deadline):
@@ -152,6 +252,8 @@ def main():
                 "JAX_PLATFORMS": "cpu",
                 "BENCH_M": str(1 << 14),
                 "BENCH_RUNS": "1",
+                "BENCH_PREFILL_X": "2",
+                "BENCH_SUSTAIN_RUNS": "1",
             },
             t0 + timeout - 20,
         )

@@ -66,16 +66,18 @@ def main():
             best = min(best, (th - tl) / (hi - lo))
         return best * 1e3
 
+    from ropebwt2_tpu.index.pending import searchsorted_blocked
+
     @jax.jit
-    def f_ss(r):
+    def f_ssb(r):
         def body(i, g):
-            p = jnp.searchsorted(pend.vp, g, side="left").astype(jnp.int32)
+            p = searchsorted_blocked(pend.vp, g)
             return jnp.clip(g + (p & 1), 0, NV)
         g = jax.lax.fori_loop(0, r, body, g0)
         return g[0]
 
-    print(f"[pend] searchsorted vp[2^21] q[2^18]: {t_chain(f_ss):.3f} ms",
-          flush=True)
+    print(f"[pend] searchsorted_blocked vp[2^21] q[2^18]: "
+          f"{t_chain(f_ssb):.3f} ms", flush=True)
 
     @jax.jit
     def f_rank(r):
@@ -116,6 +118,46 @@ def main():
         return pd.blk_prefix[0, 0] + gX[0]
 
     print(f"[pend] pending_add M=2^17: {t_chain(f_add):.3f} ms", flush=True)
+
+    from ropebwt2_tpu.index.scan import cumsum_blocked
+
+    @jax.jit
+    def f_hist(r):
+        def body(i, k):
+            hist = jnp.zeros((PCAP,), jnp.int32).at[k].add(1, mode="drop")
+            return jnp.clip(k + (hist[0] & 1), 0, PCAP - 1)
+        k = jax.lax.fori_loop(0, r, body, gX0 % PCAP)
+        return k[0]
+
+    print(f"[pend] hist scatter-add M->2^21: {t_chain(f_hist):.3f} ms",
+          flush=True)
+
+    @jax.jit
+    def f_cs(r):
+        def body(i, x):
+            c = cumsum_blocked(x)
+            return x ^ (c[-1] & 1)
+        x = jax.lax.fori_loop(0, r, body, jnp.ones((PCAP,), jnp.int32))
+        return x[0]
+
+    print(f"[pend] cumsum_blocked 2^21: {t_chain(f_cs):.3f} ms", flush=True)
+
+    @jax.jit
+    def f_scat(r):
+        iota = jnp.arange(PCAP, dtype=jnp.int32)
+        def body(i, c):
+            v, sl = c
+            out = jnp.zeros((PCAP,), jnp.int32).at[sl].set(
+                v, mode="drop", unique_indices=True
+            )
+            return out, jnp.clip(sl + (out[0] & 1), 0, PCAP - 1)
+        v, sl = jax.lax.fori_loop(
+            0, r, body, (jnp.ones((PCAP,), jnp.int32), iota)
+        )
+        return v[0]
+
+    print(f"[pend] full-width scatter 2^21->2^21: {t_chain(f_scat):.3f} ms",
+          flush=True)
 
     @jax.jit
     def f_tbl(r):
