@@ -60,7 +60,7 @@ def _use_pallas_merge(cap: int, K: int) -> bool:
     return (
         jax.default_backend() == "tpu"
         and cap % mp.SUPER_B == 0
-        and cap < (1 << 31)
+        and cap // mp.LANE < (1 << 30)  # in-kernel scalars: 32-bit ROW units
         and K % mp.LANE == 0
     )
 

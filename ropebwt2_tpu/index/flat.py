@@ -72,9 +72,16 @@ def empty_state(cap: int, K: int) -> FlatBwt:
 
 
 def grow_state(state: FlatBwt, new_cap: int, K: int) -> FlatBwt:
-    """Re-plan to a larger capacity (host-side, between batches)."""
-    from .rank import build_block_tables
+    """Re-plan to a larger capacity (host-side, between batches).
 
+    The appended region is PAD (zero counts), so the rank table EXTENDS by
+    repeating its row at the old-capacity boundary instead of recounting
+    the whole buffer — a full rebuild materializes a (cap, 6) bool
+    intermediate (25 GB at 4 Gsym) and is the only O(cap) compare pass the
+    engine would otherwise pay between batches.  Rows of the old table
+    beyond the live prefix may hold garbage (Pallas merge contract); the
+    repeated row propagates that garbage only to rows past n, which no
+    consumer reads (same contract as flat.py's buffer slack)."""
     assert new_cap % K == 0 and new_cap >= state.cap
     if new_cap == state.cap:
         return state
@@ -86,12 +93,20 @@ def grow_state(state: FlatBwt, new_cap: int, K: int) -> FlatBwt:
             ),
         ]
     )
+    tdt = table_dtype(new_cap)
+    old_rows = state.cap // K + 1  # rows covering [0, old_cap]
+    kept = state.blk_prefix[:old_rows].astype(tdt)
+    boundary = kept[old_rows - 1 : old_rows]
+    extra = (new_cap + PAD_TAIL) // K + 1 - old_rows
+    blk_prefix = jnp.concatenate(
+        [kept, jnp.broadcast_to(boundary, (extra, NSYM))]
+    )
     return FlatBwt(
         bwt=bwt,
         n=state.n,
         psize=state.psize,
         pcounts=state.pcounts,
-        blk_prefix=build_block_tables(bwt, K, dtype=table_dtype(new_cap)),
+        blk_prefix=blk_prefix,
     )
 
 

@@ -139,7 +139,11 @@ def _seg_flat_prefix(x, rows_per_block):
 def _align_windows(stv, rem_vec):
     """One batched alignment pass: every WROWS-row window in the stack is
     flat-shifted LEFT by its own remainder (0..1023), encoded per-row in
-    rem_vec.  Rows >= ROWS of each window become garbage (never read)."""
+    rem_vec.  Rows >= ROWS of each window become garbage (never read).
+
+    ``stv`` stays int8 end to end: int8 selects under i32-derived masks
+    compile on this toolchain (scripts/probe_kfeat_tpu.py) and move 4x
+    less VPU data per pass than the former widen-to-i32 formulation."""
     for k in range(9, -1, -1):
         step = 1 << k
         if step >= LANE:
@@ -155,7 +159,10 @@ def _expand(insm32, aligned, rows_per_block):
     where c = per-block inclusive insertion-count prefix.  The gather runs
     as log2(B) conditional static shifts over the bits of c, high to low;
     valid because c is non-decreasing with slope <= 1 within a block (see
-    module docstring)."""
+    module docstring).
+
+    ``aligned`` is int8 and the shifted value path stays int8 (4x less
+    VPU data per pass); only the mask arithmetic (c) runs in i32."""
     ROWS = rows_per_block
     is_ins = insm32 != 0
     c = _seg_flat_prefix(jnp.where(is_ins, 1, 0).astype(I32), ROWS)
@@ -172,14 +179,21 @@ def _expand(insm32, aligned, rows_per_block):
             sh = _flat_shift_right(v, step)
             ok = (rowb > 0) | (lane >= step)
         v = jnp.where(((c & step) != 0) & ok, sh, v)
-    return jnp.where(is_ins, insm32 - 1, v)
+    return jnp.where(is_ins, (insm32 - 1).astype(jnp.int8), v)
 
 
 def _window_scalars(start_ref, sb, bsz, superb):
-    """(rowq_s, b0) for super-block sb."""
+    """(rowq_s, b0) for super-block sb.
+
+    All scalar arithmetic stays in ROW units so the kernel is correct for
+    capacities past 2^31 symbols (Mosaic is 32-bit; symbol-unit products
+    like b0*bsz overflow there): with s = start_ref[b0] <= M,
+    floor((b0*bsz - s) / 1024) == b0*(bsz//1024) - ceil(s/1024)."""
     b0 = sb * superb
-    old_start_first = b0 * bsz - start_ref[b0]
-    rowq_s = pl.multiple_of((old_start_first // (8 * LANE)) * 8, 8)
+    s = start_ref[b0]
+    rowq_s = pl.multiple_of(
+        (b0 * (bsz // (8 * LANE)) - (s + 8 * LANE - 1) // (8 * LANE)) * 8, 8
+    )
     return rowq_s, b0
 
 
@@ -253,18 +267,23 @@ def _merge_body(bsz, start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
         def _():
             start_in(sb + 1)
 
-        # stage 1: stack the 32 aligned windows, then one batched
-        # misalignment-correcting shift pass
+        # stage 1: stack the 32 windows (int8, no widening), then one
+        # batched misalignment-correcting shift pass
         rems = []
         for j in range(SUPER):
             b = b0 + j
-            old_start = b * B - start_ref[b]
-            rowq_j = pl.multiple_of((old_start // (8 * LANE)) * 8, 8)
+            s = start_ref[b]
+            # row-unit arithmetic (see _window_scalars): old_start = b*B - s
+            rowq_j = pl.multiple_of(
+                (b * (B // (8 * LANE))
+                 - (s + 8 * LANE - 1) // (8 * LANE)) * 8, 8
+            )
             off = pl.multiple_of(rowq_j - rowq_s, 8)
-            rems.append(old_start - rowq_j * LANE)  # < 1024
+            # rem = old_start - rowq_j*LANE = (-s) mod 1024
+            rems.append((8 * LANE - (s & (8 * LANE - 1))) & (8 * LANE - 1))
             stackv[j * WROWS : (j + 1) * WROWS, :] = oldshare[
                 pl.ds(off, WROWS), :
-            ].astype(I32)
+            ]
         srow = jax.lax.broadcasted_iota(I32, (STACK_ROWS, 1), 0) // WROWS
         rem_vec = jnp.zeros((STACK_ROWS, 1), I32)
         for j in range(SUPER):
@@ -275,16 +294,18 @@ def _merge_body(bsz, start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
             axis=0,
         )
 
-        # stage 2: expand
+        # stage 2: expand (int8 values, i32 masks)
         insm32 = inshare[...].astype(I32)
         out = _expand(insm32, aligned, ROWS)
 
         # stage 3: per-row symbol counts via MXU ones-contraction — counts
-        # land in the LANE dimension, DMA-able
+        # land in the LANE dimension, DMA-able (one widen of out for the
+        # six eq-compares; int8 vectors have no compare ops)
+        out32 = out.astype(I32)
         ones_row = jnp.ones((1, LANE), jnp.float32)
         crows = []
         for sidx in range(NSYM):
-            ind = (out == sidx).astype(jnp.float32)
+            ind = (out32 == sidx).astype(jnp.float32)
             crows.append(
                 jax.lax.dot_general(
                     ones_row, ind,
@@ -306,7 +327,7 @@ def _merge_body(bsz, start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
 
             @pl.when((sb % 2) == slot)
             def _():
-                outv[...] = out.astype(jnp.int8)
+                outv[...] = out
                 cntv[...] = cnt
                 out_copy(sb, slot).start()
                 cnt_copy(sb, slot).start()
@@ -340,14 +361,16 @@ def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
 
     pos/stream int[M] (old-coord insertion points + tie ranks, int32 or
     int64); sym int32[M]; valid bool[M].  Requires cap % (SUPER*B) == 0
-    (multiples of 131072), cap < 2^31, K % LANE == 0."""
+    (multiples of 131072), cap < 2^37 (in-kernel scalars are 32-bit ROW
+    units), K % LANE == 0.  The returned rank prefix is int32 while cap
+    fits, int64 beyond (flat.table_dtype)."""
     cap_alloc = bwt.shape[0]
     cap = cap_alloc - PAD_ROWS * LANE
     m = pos.shape[0]
     bsz = block or pick_block(cap)  # block: test override for coarse geometries
     nb = cap // bsz
     cap_rows = cap // LANE
-    assert cap % SUPER_B == 0 and cap < (1 << 31)
+    assert cap % SUPER_B == 0 and cap_rows < (1 << 30)
     assert K % LANE == 0 and (PAD_ROWS * LANE) % K == 0
 
     pdt = pos.dtype
@@ -407,7 +430,7 @@ def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
             pltpu.VMEM((8, SROWS), I32),  # cntB
             pltpu.VMEM((SWROWS, LANE), jnp.int8),  # oldshare
             pltpu.VMEM((SROWS, LANE), jnp.int8),  # inshare
-            pltpu.VMEM((stack_rows, LANE), I32),  # stackv
+            pltpu.VMEM((stack_rows, LANE), jnp.int8),  # stackv
             pltpu.SemaphoreType.DMA((8,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -416,9 +439,12 @@ def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
       insmap.reshape(cap_rows, LANE))
     new_bwt = new_bwt.reshape(cap_alloc)
 
-    # counts -> K-block rank prefix (int32: cap < 2^31 is asserted above).
-    # Rows past the live prefix are garbage; the cumsum only pollutes rows
-    # past n, which are never read.
+    # counts -> K-block rank prefix (int32 while every count fits, int64
+    # past cap 2^31 — flat.table_dtype).  Rows past the live prefix are
+    # garbage; the cumsum only pollutes rows past n, which are never read.
+    from .flat import table_dtype
+
+    tdt = table_dtype(cap)
     rows6 = jnp.transpose(
         cnt_out.reshape(nsb_total, 8, SROWS)[:, :NSYM, :], (0, 2, 1)
     ).reshape(cap_rows, NSYM)
@@ -429,9 +455,9 @@ def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
     )
     blk_prefix = jnp.concatenate(
         [
-            jnp.zeros((1, NSYM), I32),
-            cumsum_blocked(blk_cnt),
-            jnp.zeros(((PAD_ROWS * LANE) // K, NSYM), I32),
+            jnp.zeros((1, NSYM), tdt),
+            cumsum_blocked(blk_cnt.astype(tdt)),
+            jnp.zeros(((PAD_ROWS * LANE) // K, NSYM), tdt),
         ]
     )
     return new_bwt, blk_prefix

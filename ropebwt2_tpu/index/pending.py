@@ -156,12 +156,49 @@ def reset_pending(pend: PendingIndex) -> PendingIndex:
     )
 
 
+def pending_rank(pend: PendingIndex, g):
+    """(p, occ): p[q] = |{ i : vp[i] < g[q] }| and occ[q, s] = count of
+    symbol s among those pending rows — the searchsorted descent FUSED with
+    the pending symbol rank: the final level's block index addresses BOTH
+    the vp row (count < g) and the psym row + its table row, saving one
+    (Q, 128) gather per call vs a separate rank_global."""
+    vp = pend.vp
+    n = vp.shape[0]
+    assert n % _F == 0, n
+    levels = [vp]
+    while levels[-1].shape[0] > _F:
+        nxt = levels[-1][::_F]
+        if nxt.shape[0] % _F and nxt.shape[0] > _F:
+            pad = _F - nxt.shape[0] % _F
+            nxt = jnp.concatenate(
+                [nxt, jnp.full((pad,), jnp.iinfo(vp.dtype).max, vp.dtype)]
+            )
+        levels.append(nxt)
+    gq = g[:, None].astype(vp.dtype)
+    top = levels[-1]
+    cnt = jnp.sum(top[None, :] < gq, axis=1, dtype=I32)
+    j = jnp.maximum(cnt - 1, 0)
+    for lvl in levels[-2:0:-1]:  # down to (but excluding) vp itself
+        rows = lvl.reshape(-1, _F)[j]
+        c = jnp.sum(rows < gq, axis=1, dtype=I32)
+        j = jnp.maximum(j * _F + c - 1, 0)
+    jb = j  # final 128-block of vp containing the boundary
+    vrows = vp.reshape(-1, _F)[jb]
+    inb = vrows < gq  # (Q, 128) membership mask
+    c = jnp.sum(inb, axis=1, dtype=I32)
+    p = jb * _F + c
+    srows = pend.psym.reshape(-1, _F)[jb]  # (Q, 128) int8
+    sym = jnp.arange(NSYM, dtype=pend.psym.dtype)
+    eq = (srows[:, :, None] == sym[None, None, :]) & inb[:, :, None]
+    occ = pend.blk_prefix[jb] + eq.sum(axis=1, dtype=I32)
+    return p, occ
+
+
 def rank_virtual(bwt, blk_prefix, pend: PendingIndex, g, K: int):
     """6-symbol rank of the virtual (base + pending) sequence at positions
     ``g`` (0 <= g <= n_virtual).  Returns (Q, 6) in blk_prefix's dtype."""
-    p = searchsorted_blocked(pend.vp, g)
+    p, extra = pending_rank(pend, g)
     base = rank_global(bwt, blk_prefix, g - p.astype(g.dtype), K)
-    extra = rank_global(pend.psym, pend.blk_prefix, p.astype(I32), KP)
     return base + extra.astype(base.dtype)
 
 
@@ -170,65 +207,56 @@ def pending_add(pend: PendingIndex, gX, sym, stream, active) -> PendingIndex:
 
     gX/stream: int[M] old-coordinate insertion points and tie ranks (tie
     ranks unique in [0, A) over the A active rows, dest = gX + stream
-    strictly increasing in stream).  sym: int32[M].  active: bool[M]."""
+    strictly increasing in stream).  sym: int32[M].  active: bool[M].
+
+    New row (tie rank r, insertion point gX) lands at merged slot r + k
+    with k = |{ i : vp[i] < gX }| — the searchsorted of the shifted-old
+    sequence at the new row's destination reduces to k exactly (old row i
+    with vp[i] < gX has shift s[i] <= r, so vp[i]+s[i] < gX+r; old row
+    with vp[i] >= gX has s[i] >= r+1, so vp[i]+s[i] > gX+r), which kills
+    the second searchsorted AND the intermediate sorted-new-block scatter:
+    both payloads scatter ONCE, directly to merged slots, packed into one
+    int64 (XLA:TPU element scatters are latency-bound per element — one
+    wide scatter beats two narrow ones).  Old rows move via the log-shift
+    insertion expand (slope <= 1; index/merge_pallas.py argument)."""
     pcap = pend.cap
     pdt = pend.vp.dtype
     m = gX.shape[0]
     INF = _inf(pdt)
     vp = pend.vp
 
-    # 1. sorted new block via one scatter keyed by tie rank
-    slot = jnp.where(active, stream, m).astype(I32)
-    qs = jnp.full((m,), INF, dtype=pdt)
-    qs = qs.at[slot].set(
-        jnp.where(active, gX + stream, INF), mode="drop",
-        unique_indices=True,
-    )
-    qsym = jnp.full((m,), PAD, dtype=jnp.int8)
-    qsym = qsym.at[slot].set(
-        jnp.where(active, sym, PAD).astype(jnp.int8), mode="drop",
-        unique_indices=True,
-    )
-    qlive = qs < INF
-
-    # 2. old-row shifts s[i] = |{ j : gX[j] <= vp[i] }|
+    # k[row] = |{ i : vp[i] < gX[row] }|; also the new row's slot offset
     gq = jnp.where(active, gX, INF).astype(pdt)
-    k = searchsorted_blocked(vp, gq)  # first i with vp[i] >= gX[j]
+    k = searchsorted_blocked(vp, gq)
+
+    # old-row shifts s[i] = |{ rows : k[row] <= i }| via histogram + scan
     hist = jnp.zeros((pcap,), I32)
     hist = hist.at[jnp.where(active, k, pcap)].add(1, mode="drop")
-    s = cumsum_blocked(hist)  # s[i] = #{ j : k[j] <= i }
+    s = cumsum_blocked(hist)
     vps = jnp.minimum(vp + s.astype(pdt), INF)  # shifted old rows (sorted)
 
-    # 3. interleave ranks
-    t = searchsorted_blocked(vps, qs)  # per new row
-    jq = jnp.arange(m, dtype=I32)
-    new_slot = jnp.where(qlive, jq + t, pcap)  # merged slot of new row j
+    # ONE packed scatter places every new row at its merged slot
+    merged_slot = jnp.where(
+        active, stream.astype(I32) + k, pcap
+    )
+    dest = (gX + stream).astype(jnp.int64)
+    packed_val = jnp.where(
+        active, dest | ((sym.astype(jnp.int64) + 1) << 48), 0
+    )
+    packed = jnp.zeros((pcap,), jnp.int64).at[merged_slot].set(
+        packed_val, mode="drop", unique_indices=True
+    )
+    is_new = packed != 0  # dest 0 still has sym+1 >= 1 in the high bits
 
-    # 4. place both blocks.  New rows land with THREE M-sized scatters
-    # (slot mask + payloads); old rows move via the log-shift insertion
-    # expand — out[p] = vps[p - c(p)] with c = inclusive prefix of the
-    # new-slot mask, decomposed into static conditional shifts over the
-    # bits of c (valid because c is non-decreasing with slope <= 1; same
-    # argument as index/merge_pallas.py).  Full-width pcap-sized scatters
-    # measure ~10 ms each at pcap=2^21 on the v5e (XLA:TPU serializes
-    # element scatters) vs ~0.1 ms per shift pass.
-    is_new = jnp.zeros((pcap,), bool).at[new_slot].set(
-        True, mode="drop", unique_indices=True
-    )
-    new_vp = jnp.full((pcap,), INF, dtype=pdt).at[new_slot].set(
-        qs, mode="drop", unique_indices=True
-    )
-    new_sym = jnp.full((pcap,), PAD, dtype=jnp.int8).at[new_slot].set(
-        qsym, mode="drop", unique_indices=True
-    )
+    # old rows: log-shift expand by c = prefix of is_new
     c = cumsum_blocked(is_new.astype(I32))
     vo, so_ = vps, pend.psym
     nbits = max(m.bit_length(), 1)
-    for k in range(nbits - 1, -1, -1):
-        step = 1 << k
+    for kk in range(nbits - 1, -1, -1):
+        step = 1 << kk
         if step >= pcap:
             continue
-        take = ((c >> k) & 1) == 1
+        take = ((c >> kk) & 1) == 1
         vo = jnp.where(
             take,
             jnp.concatenate([jnp.full((step,), INF, pdt), vo[:-step]]),
@@ -239,10 +267,14 @@ def pending_add(pend: PendingIndex, gX, sym, stream, active) -> PendingIndex:
             jnp.concatenate([jnp.full((step,), PAD, jnp.int8), so_[:-step]]),
             so_,
         )
-    new_vp = jnp.where(is_new, new_vp, vo)
-    new_sym = jnp.where(is_new, new_sym, so_)
+    new_vp = jnp.where(
+        is_new, (packed & ((1 << 48) - 1)).astype(pdt), vo
+    )
+    new_sym = jnp.where(
+        is_new, ((packed >> 48) - 1).astype(jnp.int8), so_
+    )
 
-    n_new = jnp.sum(qlive, dtype=I32)
+    n_new = jnp.sum(active, dtype=I32)
     return PendingIndex(
         vp=new_vp,
         psym=new_sym,

@@ -161,3 +161,29 @@ def test_coarse_block_geometry_interpret():
         want = np.asarray(build_block_tables(got, 256, dtype=jnp.int32))
         nlive = (n0 + m) // 256
         assert np.array_equal(np.asarray(blkp)[:nlive], want[:nlive]), blk
+
+
+def test_row_unit_scalar_formulas_match_symbol_units():
+    """The kernel's >2^31-safe row-unit scalar arithmetic must equal the
+    symbol-unit originals for every (block, start_ins) combination,
+    including past-2^31 capacities (pure-python bigint oracle)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for bsz in (4096, 8192, 32768, 65536):
+        q = bsz // 1024
+        for _ in range(200):
+            b = int(rng.integers(0, (1 << 33) // bsz))
+            s = int(rng.integers(0, 1 << 21))
+            old_start = b * bsz - s
+            if old_start < 0:
+                continue
+            rowq_old = (old_start // 1024) * 8
+            rem_old = old_start - rowq_old * 128
+            rowq_new = (b * q - (s + 1023) // 1024) * 8
+            rem_new = (1024 - (s & 1023)) & 1023
+            assert rowq_new == rowq_old, (bsz, b, s)
+            assert rem_new == rem_old, (bsz, b, s)
+            # every 32-bit intermediate of the new formulas stays in range
+            for v in (b * q, (s + 1023) // 1024, rowq_new):
+                assert -(1 << 31) <= v < (1 << 31), (bsz, b, s, v)
