@@ -255,12 +255,23 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
         TL = rank_fn(gLq) - pprefix_c
         delta = jnp.zeros_like(TL)
     else:
-        # ONE batched rank call for both interval ends (launch overhead on
-        # the tunneled backend makes op count matter more than op size)
+        # Interval widths start at the PREVIOUS string count and shrink
+        # ~4x per round (reads sharing a suffix), hitting zero after
+        # ~log4 rounds — from then on the U-end rank is identically the
+        # L-end rank.  Runtime-skip the second M-query rank (and, on the
+        # deferred path, its pending_rank descent) whenever every active
+        # interval is empty: ~85% of rounds in a sustained build, and ALL
+        # rounds of a first batch.  All shards see the same comm-reduced
+        # predicate, so the cond is SPMD-safe under shard_map.
+        TLr = rank_fn(gLq)
+        wmax = comm.max_scalar(jnp.where(active, (U - L).astype(I32), 0))
         gUq = poc + U
-        both = rank_fn(jnp.concatenate([gLq, gUq]))
-        TL = both[:M] - pprefix_c
-        delta = both[M:] - both[:M]  # (M,6): per-symbol count in interval
+        delta = jax.lax.cond(
+            wmax == 0,
+            lambda: jnp.zeros_like(TLr),
+            lambda: rank_fn(gUq) - TLr,
+        )
+        TL = TLr - pprefix_c
 
     # ---- 4. insertion points per symbol, start-of-round local coords ----
     # X[:, s] = L + sum of delta over symbols emitted before s.

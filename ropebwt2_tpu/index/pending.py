@@ -215,10 +215,8 @@ def pending_add(pend: PendingIndex, gX, sym, stream, active) -> PendingIndex:
     with vp[i] < gX has shift s[i] <= r, so vp[i]+s[i] < gX+r; old row
     with vp[i] >= gX has s[i] >= r+1, so vp[i]+s[i] > gX+r), which kills
     the second searchsorted AND the intermediate sorted-new-block scatter:
-    both payloads scatter ONCE, directly to merged slots, packed into one
-    int64 (XLA:TPU element scatters are latency-bound per element — one
-    wide scatter beats two narrow ones).  Old rows move via the log-shift
-    insertion expand (slope <= 1; index/merge_pallas.py argument)."""
+    both payloads scatter directly to merged slots.  Old rows move via the
+    log-shift insertion expand (slope <= 1; merge_pallas.py argument)."""
     pcap = pend.cap
     pdt = pend.vp.dtype
     m = gX.shape[0]
@@ -235,18 +233,21 @@ def pending_add(pend: PendingIndex, gX, sym, stream, active) -> PendingIndex:
     s = cumsum_blocked(hist)
     vps = jnp.minimum(vp + s.astype(pdt), INF)  # shifted old rows (sorted)
 
-    # ONE packed scatter places every new row at its merged slot
+    # two narrow scatters place every new row at its merged slot (an int64
+    # packed single scatter measured SLOWER: the pcap-wide int64 unpack
+    # passes hit the 10-50x int64 vector penalty)
     merged_slot = jnp.where(
         active, stream.astype(I32) + k, pcap
     )
-    dest = (gX + stream).astype(jnp.int64)
-    packed_val = jnp.where(
-        active, dest | ((sym.astype(jnp.int64) + 1) << 48), 0
+    sarr = jnp.zeros((pcap,), jnp.int8).at[merged_slot].set(
+        jnp.where(active, sym + 1, 0).astype(jnp.int8),
+        mode="drop", unique_indices=True,
     )
-    packed = jnp.zeros((pcap,), jnp.int64).at[merged_slot].set(
-        packed_val, mode="drop", unique_indices=True
+    varr = jnp.zeros((pcap,), pdt).at[merged_slot].set(
+        jnp.where(active, gX + stream, 0).astype(pdt),
+        mode="drop", unique_indices=True,
     )
-    is_new = packed != 0  # dest 0 still has sym+1 >= 1 in the high bits
+    is_new = sarr != 0
 
     # old rows: log-shift expand by c = prefix of is_new
     c = cumsum_blocked(is_new.astype(I32))
@@ -267,12 +268,8 @@ def pending_add(pend: PendingIndex, gX, sym, stream, active) -> PendingIndex:
             jnp.concatenate([jnp.full((step,), PAD, jnp.int8), so_[:-step]]),
             so_,
         )
-    new_vp = jnp.where(
-        is_new, (packed & ((1 << 48) - 1)).astype(pdt), vo
-    )
-    new_sym = jnp.where(
-        is_new, ((packed >> 48) - 1).astype(jnp.int8), so_
-    )
+    new_vp = jnp.where(is_new, varr, vo)
+    new_sym = jnp.where(is_new, sarr - 1, so_)
 
     n_new = jnp.sum(active, dtype=I32)
     return PendingIndex(

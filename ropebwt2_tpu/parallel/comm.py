@@ -75,6 +75,9 @@ class LocalComm:
     def sum_scalar(self, x, dtype):
         return jnp.sum(x, dtype=dtype)
 
+    def max_scalar(self, x):
+        return jnp.max(x)
+
     def psum_array(self, x):
         return x
 
@@ -97,6 +100,9 @@ class ShardComm:
 
     def sum_scalar(self, x, dtype):
         return jax.lax.psum(jnp.sum(x, dtype=dtype), self.axis)
+
+    def max_scalar(self, x):
+        return jax.lax.pmax(jnp.max(x), self.axis)
 
     def psum_array(self, x):
         return jax.lax.psum(x, self.axis)

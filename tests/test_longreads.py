@@ -81,3 +81,21 @@ def test_cli_tree_dump_runs(rng):
     inner = "".join(ch for ch in t if ch in "$ACGTN")
     got = run_cli(["-LR", "-"], reads_to_lines(reads)).decode().strip()
     assert inner == got
+
+
+def test_multi_kbp_reads_parity(rng, ref_binary):
+    """Config #4 regime (tex/ropebwt2.tex:263-267, Moleculo README.md:186):
+    multi-kbp reads, tiny active set over a growing prefix — the worst case
+    of flat-rebuild economics and the motivating case for the deferred
+    pending index.  Parity vs the reference binary with deferral forced."""
+    reads = [
+        rng.integers(1, 5, size=int(ln)).astype(np.int8)
+        for ln in rng.integers(2000, 5001, size=8)
+    ]
+    lines = reads_to_lines(reads)
+    want = run_ref(ref_binary, ["-LRs", "-"], lines)
+    eng = TpuBwt(so=SO_RLO, defer_r=16)
+    eng.insert_multi(reads)
+    lut = np.frombuffer(b"$ACGTN", np.uint8)
+    got = lut[eng.bwt_array()].tobytes() + b"\n"
+    assert got == want
