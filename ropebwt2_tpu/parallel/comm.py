@@ -196,44 +196,104 @@ class ShardComm:
             slot = slot + oh * (cumsum_blocked(oh) - 1)
         return slot
 
-    def exchange(self, tgt, valid, payload):
+    def exchange(self, tgt, valid, payload, slot_cap=None):
         """Route rows to target shards.  payload: list of (Q,) arrays.
         Returns (recv_valid (D*Q,) bool, recv list of (D*Q,) arrays,
-        tgt, slot) — receivers see one Q-slot block per source shard
-        (slot capacity Q = worst case: every local row to one target);
-        (tgt, slot) lets the caller route replies back with ``reply``."""
+        tgt, slot) — receivers see one Q-slot block per source shard;
+        (tgt, slot) lets the caller route replies back with ``reply``.
+
+        ``slot_cap`` = S < Q enables CONCENTRATION-AWARE slots: the
+        all_to_all ships only S rows per (src, tgt) pair (ICI volume
+        D*S instead of the worst-case D*Q), falling back to the full
+        exchange — compiled but rarely executed — when any shard would
+        overflow (the predicate is psum'd, so every shard takes the same
+        branch: SPMD-safe).  Use for near-uniform routings (rank/insert
+        routes of random batches: expected rows per pair = Q/D); keep
+        the default for adversarial ones (the sort re-shard, where a
+        sorted block maps to a contiguous range on ~one target)."""
         q = tgt.shape[0]
         slot = self._slots(tgt)
-        idx = tgt * q + slot
-        oob = jnp.where(valid, idx, self.d * q)
-        vmask = jnp.zeros(self.d * q, bool).at[oob].set(
-            True, mode="drop", unique_indices=True
-        )
-        sends = [
-            jnp.zeros(self.d * q, p.dtype).at[oob].set(
-                p, mode="drop", unique_indices=True
-            )
-            for p in payload
-        ]
-        recv_valid = jax.lax.all_to_all(
-            vmask.reshape(self.d, q), self.axis, 0, 0
-        ).reshape(-1)
-        recv = [
-            jax.lax.all_to_all(
-                s.reshape(self.d, q), self.axis, 0, 0
-            ).reshape(-1)
-            for s in sends
-        ]
-        return recv_valid, recv, tgt, slot
 
-    def reply(self, tgt, slot, answers):
+        def ship(cap):
+            idx = tgt * cap + slot
+            oob = jnp.where(valid & (slot < cap), idx, self.d * cap)
+            vmask = jnp.zeros(self.d * cap, bool).at[oob].set(
+                True, mode="drop", unique_indices=True
+            )
+            sends = [
+                jnp.zeros(self.d * cap, p.dtype).at[oob].set(
+                    p, mode="drop", unique_indices=True
+                )
+                for p in payload
+            ]
+            rv = jax.lax.all_to_all(
+                vmask.reshape(self.d, cap), self.axis, 0, 0
+            ).reshape(-1)
+            rc = [
+                jax.lax.all_to_all(
+                    s.reshape(self.d, cap), self.axis, 0, 0
+                ).reshape(-1)
+                for s in sends
+            ]
+            return rv, rc
+
+        if slot_cap is None or slot_cap >= q:
+            recv_valid, recv = ship(q)
+            return recv_valid, recv, (tgt, slot, None)
+
+        s_cap = slot_cap
+        over = jax.lax.psum(
+            jnp.sum(valid & (slot >= s_cap), dtype=I32), self.axis
+        )
+
+        def fast():
+            rv, rc = ship(s_cap)
+            # embed (D, S) blocks into the (D, Q) receiver layout with a
+            # static pad — consumers keep indexing rows as src*Q + slot
+            pad = lambda a: jnp.pad(  # noqa: E731
+                a.reshape(self.d, s_cap), ((0, 0), (0, q - s_cap))
+            ).reshape(self.d * q)
+            return pad(rv), [pad(r) for r in rc]
+
+        def slow():
+            return ship(q)
+
+        recv_valid, recv = jax.lax.cond(over == 0, fast, slow)
+        return recv_valid, recv, (tgt, slot, s_cap, over)
+
+    def reply(self, route, answers):
         """Inverse routing of ``exchange``: ``answers`` are (D*Q, ...)
-        arrays indexed like recv; returns each original row's answer."""
+        arrays indexed like recv; returns each original row's answer.
+        Mirrors the slot-capped fast path when the exchange used one."""
+        tgt, slot = route[0], route[1]
         q = tgt.shape[0]
-        back = jax.lax.all_to_all(
-            answers.reshape((self.d, q) + answers.shape[1:]),
-            self.axis, 0, 0,
-        ).reshape((self.d * q,) + answers.shape[1:])
+
+        def ship_back(ans):
+            return jax.lax.all_to_all(
+                ans, self.axis, 0, 0
+            ).reshape((self.d * q,) + answers.shape[1:])
+
+        full = answers.reshape((self.d, q) + answers.shape[1:])
+        if len(route) == 2 or route[2] is None:
+            back = ship_back(full)
+            return back[tgt * q + slot]
+        s_cap, over = route[2], route[3]
+
+        def fast():
+            small = ship_back(full[:, :s_cap])
+            # small rows live at src*S + slot; re-embed to src*Q + slot
+            sm = small.reshape((self.d, s_cap) + answers.shape[1:])
+            widths = [(0, 0), (0, q - s_cap)] + [
+                (0, 0) for _ in answers.shape[1:]
+            ]
+            return jnp.pad(sm, widths).reshape(
+                (self.d * q,) + answers.shape[1:]
+            )
+
+        def slow():
+            return ship_back(full)
+
+        back = jax.lax.cond(over == 0, fast, slow)
         return back[tgt * q + slot]
 
     def permute(self, dest, arrays):
@@ -243,7 +303,7 @@ class ShardComm:
         tgt = (dest // self.ml).astype(I32)
         valid = jnp.ones(dest.shape[0], bool)
         lo = self.s.astype(dest.dtype) * self.ml
-        rv, recv, _, _ = self.exchange(
+        rv, recv, _ = self.exchange(
             tgt, valid, list(arrays) + [dest]
         )
         rdest = recv[-1]

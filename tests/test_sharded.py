@@ -105,11 +105,25 @@ def test_shardcomm_primitives_vs_numpy():
         # route each value to shard q // (m//d); owners add s_idx*1000;
         # replies must land back at the original rows
         tgt = (ql // (m // d)).astype(jnp.int32)
-        rv, (rq,), t_, sl_ = comm.exchange(
+        rv, (rq,), route = comm.exchange(
             tgt, jnp.ones(ql.shape[0], bool), [ql]
         )
         ans = jnp.where(rv, rq + comm.s * 1000, -1)
-        outs["routed"] = comm.reply(t_, sl_, ans)
+        outs["routed"] = comm.reply(route, ans)
+        # slot-capped variant (fast path + overflow fallback) must agree
+        rv2, (rq2,), route2 = comm.exchange(
+            tgt, jnp.ones(ql.shape[0], bool), [ql],
+            slot_cap=max(256, 4 * ql.shape[0] // d),
+        )
+        ans2 = jnp.where(rv2, rq2 + comm.s * 1000, -1)
+        outs["routed_capped"] = comm.reply(route2, ans2)
+        # adversarial concentration: every row to shard 0 forces overflow
+        tgt0 = jnp.zeros_like(tgt)
+        rv3, (rq3,), route3 = comm.exchange(
+            tgt0, jnp.ones(ql.shape[0], bool), [ql], slot_cap=256,
+        )
+        ans3 = jnp.where(rv3, rq3 * 2 + 7, -1)
+        outs["routed_overflow"] = comm.reply(route3, ans3)
         outs["sum"] = jnp.broadcast_to(
             comm.sum_scalar(vl, jnp.int64), (m // d,)
         )
@@ -118,12 +132,13 @@ def test_shardcomm_primitives_vs_numpy():
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(P("s"), P("s"), P("s"), P("s")),
-        out_specs=tuple([P("s")] * 10),
+        out_specs=tuple([P("s")] * 12),
         check_vma=False,
     )
     keys = sorted([
         "iota", "cumsum", "tot", "cummax", "cummin_rev", "roll1",
-        "shiftup", "perm", "routed", "sum",
+        "shiftup", "perm", "routed", "routed_capped", "routed_overflow",
+        "sum",
     ])
     got = dict(zip(keys, fn(jnp.asarray(x), jnp.asarray(v),
                             jnp.asarray(dest), jnp.asarray(q))))
@@ -144,6 +159,10 @@ def test_shardcomm_primitives_vs_numpy():
     assert np.array_equal(
         got["routed"], q + (q // (m // d)) * 1000
     )
+    assert np.array_equal(
+        got["routed_capped"], q + (q // (m // d)) * 1000
+    )
+    assert np.array_equal(got["routed_overflow"], q * 2 + 7)
     assert int(np.asarray(got["sum"])[0]) == int(v.sum())
 
 
