@@ -177,20 +177,21 @@ def inner():
         np.sort(rng.integers(0, n, Q)).astype(np.int32)
     )
     st = eng.state
-    bwt, blk = st.bwt, st.blk_prefix
 
+    # big device arrays MUST be jit arguments: closure constants ship in
+    # the remote-compile request body (HTTP 413 past ~100 MB)
     @jax.jit
-    def qloop(g):
+    def qloop(bwt, blk, g):
         def body(i, g):
             occ = rank_global(bwt, blk, g, K)
             return jnp.clip(g + (occ[:, 0] & 1), 0, n - 1)
         return jax.lax.fori_loop(0, iters, body, g)
 
-    np.asarray(qloop(qpos))  # compile + run
+    np.asarray(qloop(st.bwt, st.blk_prefix, qpos))  # compile + run
     best_q = None
     for _ in range(3):
         t0 = time.time()
-        np.asarray(qloop(qpos))
+        np.asarray(qloop(st.bwt, st.blk_prefix, qpos))
         dt = time.time() - t0
         best_q = dt if best_q is None else min(best_q, dt)
     state["rank"] = {"qps": Q * iters / best_q, "n": n, "q": Q}

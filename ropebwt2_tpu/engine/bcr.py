@@ -670,7 +670,9 @@ class TpuBwt:
         else:
             import math
 
-            ratio = 0.15 * self._n / max(mpad, 1)
+            # 0.3 ~= measured c_flush/c_pend on the v5e (flush 0.22 ns/sym
+            # at cap 2^28 after the int8 kernel; pending expand ~0.7 ns/row)
+            ratio = 0.3 * self._n / max(mpad, 1)
             r = int(math.sqrt(ratio)) if ratio >= 1 else 0
             if r > 0:
                 r = 1 << min(6, (r - 1).bit_length())  # pow2 >= r, <= 64
