@@ -264,7 +264,10 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
         # rounds of a first batch.  All shards see the same comm-reduced
         # predicate, so the cond is SPMD-safe under shard_map.
         TLr = rank_fn(gLq)
-        wmax = comm.max_scalar(jnp.where(active, (U - L).astype(I32), 0))
+        # only zero-vs-nonzero matters; compare in the natural dtype so a
+        # width that is 0 mod 2^32 (legal under the 2^37 envelope) cannot
+        # alias to "empty" through an int32 cast
+        wmax = comm.max_scalar(jnp.where(active, (U != L).astype(I32), 0))
         gUq = poc + U
         delta = jax.lax.cond(
             wmax == 0,

@@ -268,19 +268,19 @@ class ShardComm:
         tgt, slot = route[0], route[1]
         q = tgt.shape[0]
 
-        def ship_back(ans):
+        def ship_back(ans, cap):
             return jax.lax.all_to_all(
                 ans, self.axis, 0, 0
-            ).reshape((self.d * q,) + answers.shape[1:])
+            ).reshape((self.d * cap,) + answers.shape[1:])
 
         full = answers.reshape((self.d, q) + answers.shape[1:])
         if len(route) == 2 or route[2] is None:
-            back = ship_back(full)
+            back = ship_back(full, q)
             return back[tgt * q + slot]
         s_cap, over = route[2], route[3]
 
         def fast():
-            small = ship_back(full[:, :s_cap])
+            small = ship_back(full[:, :s_cap], s_cap)
             # small rows live at src*S + slot; re-embed to src*Q + slot
             sm = small.reshape((self.d, s_cap) + answers.shape[1:])
             widths = [(0, 0), (0, q - s_cap)] + [
@@ -291,7 +291,7 @@ class ShardComm:
             )
 
         def slow():
-            return ship_back(full)
+            return ship_back(full, q)
 
         back = jax.lax.cond(over == 0, fast, slow)
         return back[tgt * q + slot]

@@ -110,17 +110,21 @@ def test_shardcomm_primitives_vs_numpy():
         )
         ans = jnp.where(rv, rq + comm.s * 1000, -1)
         outs["routed"] = comm.reply(route, ans)
-        # slot-capped variant (fast path + overflow fallback) must agree
+        # slot-capped variant with slot_cap STRICTLY below q so the capped
+        # fast branch (and reply's s_cap-width ship_back) actually executes
+        # — random targets keep every (src,tgt) pair far under q//2 slots
         rv2, (rq2,), route2 = comm.exchange(
             tgt, jnp.ones(ql.shape[0], bool), [ql],
-            slot_cap=max(256, 4 * ql.shape[0] // d),
+            slot_cap=ql.shape[0] // 2,
         )
         ans2 = jnp.where(rv2, rq2 + comm.s * 1000, -1)
         outs["routed_capped"] = comm.reply(route2, ans2)
-        # adversarial concentration: every row to shard 0 forces overflow
+        # adversarial concentration: every row to shard 0 overflows the
+        # same sub-q cap, forcing the psum'd slow fallback to execute
         tgt0 = jnp.zeros_like(tgt)
         rv3, (rq3,), route3 = comm.exchange(
-            tgt0, jnp.ones(ql.shape[0], bool), [ql], slot_cap=256,
+            tgt0, jnp.ones(ql.shape[0], bool), [ql],
+            slot_cap=ql.shape[0] // 2,
         )
         ans3 = jnp.where(rv3, rq3 * 2 + 7, -1)
         outs["routed_overflow"] = comm.reply(route3, ans3)
