@@ -75,7 +75,8 @@ def inner():
         return dt
 
     state = {"batch_t": None, "batch_runs": 0, "degraded": None,
-             "sustained": None, "rank": None}
+             "sustained": None, "rank": None, "warmup_s": None,
+             "extend": None, "bsearch": None}
 
     def report():
         t = state["batch_t"]
@@ -103,6 +104,8 @@ def inner():
                 "regime":
                     f"batches into a ~{prefill_x}x-batch prefilled index",
             }
+        if state["warmup_s"] is not None:
+            detail["warmup_s"] = round(state["warmup_s"], 1)
         if state["rank"] is not None:
             rv = state["rank"]
             detail["rank_queries"] = {
@@ -110,6 +113,21 @@ def inner():
                 "unit": "queries/s/chip (6-symbol rank, batched)",
                 "index_symbols": rv["n"],
                 "batch_queries": rv["q"],
+            }
+        if state["extend"] is not None:
+            ev = state["extend"]
+            detail["extend"] = {
+                "value": round(ev["qps"], 1),
+                "unit": "bi-interval extensions/s/chip (rld_extend batched)",
+                "batch_queries": ev["q"],
+            }
+        if state["bsearch"] is not None:
+            bv = state["bsearch"]
+            detail["backward_search"] = {
+                "value": round(bv["sps"], 1),
+                "unit": "pattern symbols/s/chip (backward search steps)",
+                "patterns": bv["q"],
+                "pattern_len": bv["plen"],
             }
         obj = {
             "metric": METRIC,
@@ -126,6 +144,7 @@ def inner():
     print(f"[bench] warmup(+compile): {t_warm:.1f}s on {devs}",
           file=sys.stderr)
     state["batch_t"] = t_warm
+    state["warmup_s"] = t_warm
     state["degraded"] = "warmup-includes-compile"
     report()
     best = None
@@ -195,8 +214,76 @@ def inner():
         dt = time.time() - t0
         best_q = dt if best_q is None else min(best_q, dt)
     state["rank"] = {"qps": Q * iters / best_q, "n": n, "q": Q}
-    state["degraded"] = None
+    state["degraded"] = "extend-stage-pending"
     print(f"[bench] rank: {Q*iters/best_q/1e6:.1f} Mq/s over n={n/1e6:.0f}M",
+          file=sys.stderr)
+    report()
+
+    # ---- extend (rld_extend) throughput: chained backward extensions ----
+    from ropebwt2_tpu.index.scan import cumsum_small
+
+    pdt = st.blk_prefix.dtype
+    Cvec = jnp.concatenate(
+        [jnp.zeros(1, jnp.int64), cumsum_small(st.pcounts.sum(axis=0))]
+    ).astype(pdt)
+
+    @jax.jit
+    def eloop(bwt, blk, ik):
+        # inline rld_extend's backward step (engine/query.py:extend) so the
+        # big arrays ride as jit ARGUMENTS (remote-compile 413 limit) and
+        # the chain re-feeds each step's symbol-a interval
+        def body(i, ik):
+            p = ik[:, 0]
+            tk = rank_global(bwt, blk, p, K)
+            tl = rank_global(bwt, blk, jnp.minimum(p + ik[:, 2], n), K)
+            size = tl - tk
+            a = (i % 4) + 1
+            x0 = Cvec[a] + tk[:, a]
+            keep = ik[:, 1]
+            sz = jnp.maximum(size[:, a], 1)  # keep the chain alive
+            return jnp.stack([x0, keep, sz], axis=1)
+
+        return jax.lax.fori_loop(0, iters, body, ik)
+
+    ik0 = jnp.stack(
+        [
+            jnp.asarray(np.sort(rng.integers(0, n - 200, Q)), pdt),
+            jnp.zeros(Q, pdt),
+            jnp.full(Q, 100, pdt),
+        ],
+        axis=1,
+    )
+    np.asarray(eloop(st.bwt, st.blk_prefix, ik0))
+    best_e = None
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(eloop(st.bwt, st.blk_prefix, ik0))
+        dt = time.time() - t0
+        best_e = dt if best_e is None else min(best_e, dt)
+    state["extend"] = {"qps": Q * iters / best_e, "q": Q}
+    state["degraded"] = "bsearch-stage-pending"
+    print(f"[bench] extend: {Q*iters/best_e/1e6:.1f} M ext/s",
+          file=sys.stderr)
+    report()
+
+    # ---- backward_search throughput (the fermi consumption pattern) ----
+    from ropebwt2_tpu.engine.query import backward_search
+
+    Qb, plen = 1 << 16, 31
+    pats = rng.integers(1, 5, size=(Qb, plen)).astype(np.int32)
+    plens = np.full(Qb, plen, dtype=np.int32)
+    lo, hi = backward_search(st, jnp.asarray(pats), jnp.asarray(plens))
+    np.asarray(lo)
+    best_b = None
+    for _ in range(3):
+        t0 = time.time()
+        lo, hi = backward_search(st, jnp.asarray(pats), jnp.asarray(plens))
+        np.asarray(hi)
+        dt = time.time() - t0
+        best_b = dt if best_b is None else min(best_b, dt)
+    state["bsearch"] = {"sps": Qb * plen / best_b, "q": Qb, "plen": plen}
+    state["degraded"] = None
+    print(f"[bench] backward_search: {Qb*plen/best_b/1e6:.1f} M sym-steps/s",
           file=sys.stderr)
     report()
 

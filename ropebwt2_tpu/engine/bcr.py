@@ -664,18 +664,28 @@ class TpuBwt:
 
     def _choose_defer(self, mpad):
         """(defer_r, pcap) for the next batch.  Auto mode balances the two
-        per-round costs: full-prefix merge ~ n * c_merge / R against
+        per-round costs: full-prefix merge ~ cap * c_merge / R against
         pending-side vector work ~ R * mpad * c_pend, giving
-        R* = sqrt((c_merge/c_pend) * n / mpad); clamped to powers of two so
-        a growing index recompiles the batch program at most ~7 times."""
+        R* = sqrt((c_merge/c_pend) * cap / mpad).
+
+        Keyed on the CAPACITY, not the live n: capacity is already a static
+        compile key (growing it re-jits the batch program regardless), so
+        every batch of a preallocated run shares ONE (defer_r, pcap) and
+        compiles once — keying on self._n here caused SCALE_r03's per-batch
+        pow2-R re-jit churn (batch walls 125/64/39/75/46 s for identical
+        shapes).  The merge/flush cost is cap-proportional on the Pallas
+        path (the kernel walks super-blocks of the whole buffer), so cap is
+        also the more faithful cost input."""
         if self._defer_cfg >= 0:
             r = self._defer_cfg
         else:
             import math
 
-            # 0.3 ~= measured c_flush/c_pend on the v5e (flush 0.22 ns/sym
-            # at cap 2^28 after the int8 kernel; pending expand ~0.7 ns/row)
-            ratio = 0.3 * self._n / max(mpad, 1)
+            # 0.055 = measured c_flush/c_pend on the v5e (flush ~29.8 ms at
+            # cap 2^28 = 0.111 ns/sym; pending_add ~3.97 ms at pcap 2^21 =
+            # 1.9 ns/row); confirmed by the round-4 on-chip (M, R) sweep at
+            # n = 0.9 Gsym (scripts/probe_scale_sweep.py)
+            ratio = 0.055 * self.state.cap / max(mpad, 1)
             r = int(math.sqrt(ratio)) if ratio >= 1 else 0
             if r > 0:
                 r = 1 << min(6, (r - 1).bit_length())  # pow2 >= r, <= 64

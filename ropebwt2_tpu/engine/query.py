@@ -28,9 +28,12 @@ def _state_K(state, K):
 
 def _C(state):
     """Accumulative counts C(a) = # symbols < a (rld's e->cnt after finish).
-    shape (7,): C[6] = total."""
+    shape (7,): C[6] = total.  Returned in the index's position dtype
+    (int32 while the capacity fits — int64 vector math is ~10x slower on
+    TPU, so query position arithmetic follows blk_prefix's dtype)."""
     tot = state.pcounts.sum(axis=0)
-    return jnp.concatenate([jnp.zeros(1, I64), cumsum_small(tot)])
+    C = jnp.concatenate([jnp.zeros(1, I64), cumsum_small(tot)])
+    return C.astype(state.blk_prefix.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
@@ -38,7 +41,8 @@ def rank1a(state, pos, *, K=None):
     """occ[q, s] = # of symbol s in BWT[0:pos[q]] (rld_rank1a / mr_rank2a
     single-point)."""
     return rank_global(
-        state.bwt, state.blk_prefix, pos.astype(I64), _state_K(state, K)
+        state.bwt, state.blk_prefix, pos.astype(state.blk_prefix.dtype),
+        _state_K(state, K),
     )
 
 
@@ -46,8 +50,9 @@ def rank1a(state, pos, *, K=None):
 def rank2a(state, x, y, *, K=None):
     """Two-point rank: returns (occ_x, occ_y), each (Q, 6)."""
     K = _state_K(state, K)
-    ox = rank_global(state.bwt, state.blk_prefix, x.astype(I64), K)
-    oy = rank_global(state.bwt, state.blk_prefix, y.astype(I64), K)
+    pdt = state.blk_prefix.dtype
+    ox = rank_global(state.bwt, state.blk_prefix, x.astype(pdt), K)
+    oy = rank_global(state.bwt, state.blk_prefix, y.astype(pdt), K)
     return ox, oy
 
 
@@ -76,10 +81,11 @@ def extend(state, ik, *, is_back=True, K=None):
     """Batched rld_extend (rld0.c:473-489): one backward (is_back=True) or
     forward extension step of bi-intervals.
 
-    ik: (Q, 3) int64 — (x0=backward, x1=forward, size).
+    ik: (Q, 3) int — (x0=backward, x1=forward, size).
     Returns ok: (Q, 6, 3) — for each symbol a, the bi-interval of (aP) for
-    backward or (Pa~) for forward extension."""
+    backward or (Pa~) for forward extension, in the index position dtype."""
     C = _C(state)
+    ik = ik.astype(state.blk_prefix.dtype)
     p = ik[:, 0] if is_back else ik[:, 1]
     tk, tl = rank2a(state, p, p + ik[:, 2], K=K)
     size = tl - tk  # (Q, 6)
@@ -112,6 +118,7 @@ def backward_search(state, patterns, lengths, *, K=None):
     C = _C(state)
     q, lmax = patterns.shape
     n = C[NSYM]
+    pdt = state.blk_prefix.dtype
 
     def body(i, carry):
         lo, hi = carry
@@ -126,7 +133,7 @@ def backward_search(state, patterns, lengths, *, K=None):
         act = i < lengths
         return jnp.where(act, nlo, lo), jnp.where(act, nhi, hi)
 
-    lo = jnp.zeros(q, I64)
-    hi = jnp.full(q, n, I64)
+    lo = jnp.zeros(q, pdt)
+    hi = jnp.full(q, n, pdt)
     lo, hi = jax.lax.fori_loop(0, lmax, body, (lo, hi))
     return lo, hi
