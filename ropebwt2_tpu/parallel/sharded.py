@@ -62,7 +62,8 @@ AXIS = "s"
 @dataclasses.dataclass
 class ShardedBwt:
     bwt: jax.Array  # int8[D, LCAP]   (sharded along axis 0)
-    blk_prefix: jax.Array  # int64[D, LCAP//K + 1, 6]  (GLOBAL values)
+    blk_prefix: jax.Array  # int[D, LCAP//K + 1, 6]  (GLOBAL values;
+    # int32 while the global capacity fits — flat.table_dtype)
     n: jax.Array  # int64  (replicated)
     psize: jax.Array  # int64[6]
     pcounts: jax.Array  # int64[6,6]
@@ -101,11 +102,19 @@ def _slot_cap(q, d):
 def _local_merge(comm, bwt_loc, gX, sym, stream, active, lcap, K):
     """Route this shard's planned insertions to their destination shards,
     then apply the received ones to this shard's window.  Returns the new
-    local buffer and its new GLOBAL-valued rank table."""
-    s_idx = comm.s
-    lo = s_idx.astype(I64) * lcap
+    local buffer and its new GLOBAL-valued rank table.
 
-    dest = gX.astype(I64) + stream.astype(I64)
+    Position arithmetic runs in gX's dtype (int32 while the global
+    capacity fits — the driver picks it), and the tables in
+    flat.table_dtype(cap): int64 vector gathers/math are ~10x slower on
+    TPU."""
+    from ..index.flat import table_dtype
+
+    s_idx = comm.s
+    pdt = gX.dtype
+    lo = s_idx.astype(pdt) * lcap
+
+    dest = gX + stream.astype(pdt)
     tgt = jnp.clip(dest // lcap, 0, comm.d - 1).astype(I32)
     rv, (rdest, rsym), _ = comm.exchange(
         tgt, active, [dest, sym.astype(I32)],
@@ -116,10 +125,10 @@ def _local_merge(comm, bwt_loc, gX, sym, stream, active, lcap, K):
     # histogram of routed destinations, psum'd, prefix below me
     oh_t = (tgt[:, None] == jnp.arange(comm.d, dtype=I32)[None, :])
     hist = jax.lax.psum(
-        jnp.sum(oh_t & active[:, None], axis=0, dtype=I64), comm.axis
+        jnp.sum(oh_t & active[:, None], axis=0, dtype=I32), comm.axis
     )
     s_lo = jnp.sum(
-        jnp.where(jnp.arange(comm.d) < s_idx, hist, 0), dtype=I64
+        jnp.where(jnp.arange(comm.d) < s_idx, hist, 0), dtype=I32
     )
 
     ldest = jnp.where(rv, rdest - lo, lcap)
@@ -138,17 +147,18 @@ def _local_merge(comm, bwt_loc, gX, sym, stream, active, lcap, K):
     )
     stitched = jnp.concatenate([tail, bwt_loc])  # (m + lcap,)
 
-    t_idx = jnp.arange(lcap, dtype=I64)
-    src = m + t_idx - s_lo - c_local.astype(I64)
+    t_idx = jnp.arange(lcap, dtype=I32)
+    src = m + t_idx - s_lo - c_local
     gathered = stitched[jnp.clip(src, 0, lcap + m - 1)]
     new_loc = jnp.where(insmap != 0, insmap - 1, gathered)
 
     # new local tables with global bases
-    local_pref = build_block_tables(new_loc, K)
+    tdt = table_dtype(lcap * comm.d)
+    local_pref = build_block_tables(new_loc, K, dtype=tdt)
     totals = local_pref[-1]  # (6,)
     all_tot = jax.lax.all_gather(totals, comm.axis)  # (D, 6)
     base = jnp.concatenate(
-        [jnp.zeros((1, NSYM), I64), jnp.cumsum(all_tot, axis=0)[:-1]]
+        [jnp.zeros((1, NSYM), tdt), jnp.cumsum(all_tot, axis=0)[:-1]]
     )[s_idx]
     return new_loc, local_pref + base[None, :]
 
@@ -209,7 +219,9 @@ class ShardedTpuBwt:
     """Multi-device BWT builder: same API surface as TpuBwt; BWT sharded by
     position range, read state sharded by sorted rank over a 1-D mesh."""
 
-    def __init__(self, so=SO_IO, K=256, mesh=None):
+    def __init__(self, so=SO_IO, K=128, mesh=None):
+        # K=128 matches the tuned single-device default (engine/bcr.py):
+        # one rank-table row per 128-lane gather row
         if mesh is None:
             from .mesh import make_mesh
 
@@ -269,13 +281,20 @@ class ShardedTpuBwt:
             flat[: len(old)] = old
         bwt = flat.reshape(self.d, lcap)
         # per-shard tables with global bases, vectorized over shards
+        from ..index.flat import table_dtype
+
+        tdt = table_dtype(cap)
         jb = jnp.asarray(bwt)
-        local = jax.vmap(lambda b: build_block_tables(b, self.K))(jb)
+        local = jax.vmap(
+            lambda b: build_block_tables(b, self.K, dtype=tdt)
+        )(jb)
         tot = np.asarray(local[:, -1, :])  # (D, 6)
         run = np.concatenate(
             [np.zeros((1, NSYM), np.int64), np.cumsum(tot, axis=0)[:-1]]
         )
-        blkp = np.asarray(local) + run[:, None, :]
+        blkp = (np.asarray(local) + run[:, None, :]).astype(
+            np.asarray(local).dtype
+        )
         psize, pcounts = old_psize, old_pcounts
         sh = NamedSharding(self.mesh, P(AXIS))
         rep = NamedSharding(self.mesh, P())
@@ -300,22 +319,44 @@ class ShardedTpuBwt:
         mpad = _round_up(max(_pad_pow2(m), self.d), self.d)
         if mpad > self._lcap:  # drift guard: one round inserts <= mpad
             self._plan(self._n + total + mpad * self.d)
-        strides = np.asarray(
-            [_round_up(len(r) + 1, 8) for r in reads], dtype=np.int64
-        )
+        # vectorized aligned packing (one scatter, no per-read Python loop)
+        strides = ((lens.astype(np.int64) + 8) & ~np.int64(7))
         starts = np.concatenate([[0], np.cumsum(strides)[:-1]])
         bufcap = _pad_pow2(int(strides.sum()), lo=64)
         buf = np.zeros(bufcap, dtype=np.int8)
-        for i, r in enumerate(reads):
-            rv = np.asarray(r, dtype=np.int8)
+        if isinstance(reads, np.ndarray) and reads.ndim == 2:
+            flat = reads.astype(np.int8, copy=False)
             if not already_reversed:
-                rv = rv[::-1]
-            buf[starts[i] : starts[i] + len(rv)] = rv
+                flat = flat[:, ::-1]
+            ln = reads.shape[1]
+            buf.reshape(-1, 8)[: m * int(strides[0]) // 8].reshape(
+                m, int(strides[0])
+            )[:, :ln] = flat
+        else:
+            cat = np.concatenate(
+                [np.asarray(r, dtype=np.int8) for r in reads]
+            ) if m else np.zeros(0, np.int8)
+            rstarts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            if not already_reversed:
+                # in-place reversal per read: index each read backwards
+                idx = (rstarts + lens - 1).repeat(lens) - (
+                    np.arange(int(lens.sum())) - rstarts.repeat(lens)
+                )
+                cat = cat[idx]
+            dst = (starts - rstarts).repeat(lens) + np.arange(
+                int(lens.sum()), dtype=np.int64
+            )
+            buf[dst] = cat
+        # int32 positions whenever the global capacity (and buffer) fit:
+        # int64 vector math is ~10x slower on TPU
+        cap = self._lcap * self.d
+        pdt = np.int32 if cap < (1 << 31) - 1 else np.int64
+        pkdt = np.int32 if bufcap <= (1 << 30) else np.int64
         npad = mpad - m
-        pk = np.full(mpad, -1, dtype=np.int64)
+        pk = np.full(mpad, -1, dtype=pkdt)
         pk[npad:] = starts  # 8-aligned: off == (off//8)<<3, c = 0
-        l = np.zeros(mpad, dtype=np.int64)
-        u = np.zeros(mpad, dtype=np.int64)
+        l = np.zeros(mpad, dtype=pdt)
+        u = np.zeros(mpad, dtype=pdt)
         if self.so == SO_IO:
             l[npad:] = self._n_strings + np.arange(m)
             u[npad:] = l[npad:]

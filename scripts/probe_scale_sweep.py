@@ -28,33 +28,39 @@ import numpy as np
 
 def fabricate_state(cap, n0, n_sent, K):
     """A FlatBwt at capacity ``cap`` with n0 live symbols of uniform random
-    content and self-consistent counts (NOT a valid BWT — timing only)."""
+    content and self-consistent counts (NOT a valid BWT — timing only).
+    The device work is ONE jitted call: on the tunneled backend every eager
+    op is a separate remote compile + RTT."""
+    import functools
     import jax
     import jax.numpy as jnp
     from ropebwt2_tpu.index.flat import FlatBwt, PAD, PAD_TAIL, table_dtype
     from ropebwt2_tpu.index.scan import cumsum_blocked
 
-    key = jax.random.PRNGKey(7)
-    # symbol stream: n_sent sentinels worth of 0s spread through ACGT body
-    bwt = jax.random.randint(key, (cap + PAD_TAIL,), 1, 5, dtype=jnp.int8)
-    iota = jnp.arange(cap + PAD_TAIL, dtype=jnp.int32)
-    step = max(n0 // max(n_sent, 1), 1)
-    bwt = jnp.where((iota % step) == 0, jnp.int8(0), bwt)
-    bwt = jnp.where(iota < n0, bwt, jnp.int8(PAD))
-
-    # blockwise tables, built in 6 single-symbol passes (a (cap,6) bool
-    # intermediate would be ~6 GB at this capacity)
-    nb = (cap + PAD_TAIL) // K
-    blocks = bwt.reshape(nb, K)
-    cnts = []
-    for s in range(6):
-        cnts.append((blocks == s).sum(axis=1, dtype=jnp.int32))
-    cnt = jnp.stack(cnts, axis=1)
     tdt = table_dtype(cap)
-    blk_prefix = jnp.concatenate(
-        [jnp.zeros((1, 6), tdt), cumsum_blocked(cnt.astype(tdt))]
-    )
-    totals = blk_prefix[nb]  # per-symbol totals over the live prefix
+
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+    def fab(cap, n0, n_sent, K):
+        key = jax.random.PRNGKey(7)
+        bwt = jax.random.randint(
+            key, (cap + PAD_TAIL,), 1, 5, dtype=jnp.int8
+        )
+        iota = jnp.arange(cap + PAD_TAIL, dtype=jnp.int32)
+        step = max(n0 // max(n_sent, 1), 1)
+        bwt = jnp.where((iota % step) == 0, jnp.int8(0), bwt)
+        bwt = jnp.where(iota < n0, bwt, jnp.int8(PAD))
+        nb = (cap + PAD_TAIL) // K
+        blocks = bwt.reshape(nb, K)
+        cnts = []
+        for s in range(6):
+            cnts.append((blocks == s).sum(axis=1, dtype=jnp.int32))
+        cnt = jnp.stack(cnts, axis=1)
+        blk_prefix = jnp.concatenate(
+            [jnp.zeros((1, 6), tdt), cumsum_blocked(cnt.astype(tdt))]
+        )
+        return bwt, blk_prefix, blk_prefix[nb]
+
+    bwt, blk_prefix, totals = fab(cap, n0, n_sent, K)
     # partition sizes proportional to plausible next-symbol shares; exact
     # values only shape position arithmetic, not cost
     psize = np.zeros(6, np.int64)
