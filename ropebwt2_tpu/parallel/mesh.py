@@ -25,6 +25,25 @@ def make_mesh(n_devices=None, axis="shard"):
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh2d(hosts, shards, host_axis="h", shard_axis="s"):
+    """2-D (host, shard) mesh for multi-host scale-out (SURVEY.md §7.7).
+
+    Host-major device order: shard ranges [h*S*LCAP ...] are contiguous
+    within a host, so the neighbor-heavy collectives (sort re-shard, the
+    merge tail ppermute) ride ICI and only host-boundary rows cross DCN.
+    On real multi-host TPU, ``jax.devices()`` orders devices host-major
+    already; under ``jax.distributed`` each process contributes its local
+    devices to the same global mesh.  The sharded engine consumes the mesh
+    through the flattened axis tuple (parallel/sharded.py)."""
+    devs = jax.devices()
+    n = hosts * shards
+    assert len(devs) >= n, (len(devs), n)
+    return Mesh(
+        np.array(devs[:n]).reshape(hosts, shards),
+        (host_axis, shard_axis),
+    )
+
+
 def shard_state(state, mesh, axis="shard"):
     """Shard the flat BWT buffer by position range; small tables are
     replicated (they are O(N/K) and participate in every shard's ranks)."""

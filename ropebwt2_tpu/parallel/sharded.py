@@ -29,6 +29,26 @@ Per round:
 
 See HACKING.md for the scaling model (collective volumes vs ICI) and the
 measured 1->8 device CPU-mesh shapes.
+
+Multi-host (SURVEY.md §7.7): the same engine runs over a 2-D
+``(host, shard)`` mesh — every collective takes the FLATTENED axis tuple
+(shard index = host * S + s, host-major), so consecutive BWT position
+ranges live within one host.  Traffic split under that layout:
+
+* the sort re-shard moves each read record to the shard owning its global
+  sorted rank; sorted ranks drift slowly between rounds, so most rows move
+  between NEIGHBORING shards — intra-host ICI, with only boundary rows
+  crossing hosts over DCN;
+* rank/insert routing is near-uniform over shards for random batches, so
+  a (D-S)/D share of routed rows crosses hosts (DCN) and S/D stays local
+  (ICI); the slot-capped exchange bounds the padded volume either way,
+  and the psum'd overflow fallback stays global;
+* the per-round rebase reductions (6x6 count matrix) and boundary
+  ppermutes are O(bytes) — DCN latency-bound, not bandwidth-bound.
+
+Per-host input feeding: each host packs and feeds only its own read-state
+rows (rows are sharded host-major), so batch ingest bandwidth scales with
+hosts; see ``ShardedTpuBwt.insert_multi``.
 """
 
 import dataclasses
@@ -163,9 +183,10 @@ def _local_merge(comm, bwt_loc, gX, sym, stream, active, lcap, K):
     return new_loc, local_pref + base[None, :]
 
 
-def sharded_bcr_batch_impl(state, reads, buf, n_rounds, *, K, so, lcap, d):
+def sharded_bcr_batch_impl(state, reads, buf, n_rounds, *, K, so, lcap, d,
+                           axes=AXIS):
     ml = reads.l.shape[0]  # local read rows
-    comm = ShardComm(AXIS, ml, d)
+    comm = ShardComm(axes, ml, d)
 
     def round_body(rd_idx, carry):
         st, rd = carry
@@ -197,7 +218,8 @@ def sharded_bcr_batch_impl(state, reads, buf, n_rounds, *, K, so, lcap, d):
     donate_argnums=(0, 1),
 )
 def sharded_bcr_batch(state, reads, buf, n_rounds, *, K, so, lcap, mesh, d):
-    shard = P(AXIS)
+    axes = tuple(mesh.axis_names)  # 1-D ("s",) or 2-D ("h", "s")
+    shard = P(axes)
     rep = P()
     state_specs = ShardedBwt(
         bwt=shard, blk_prefix=shard, n=rep, psize=rep, pcounts=rep
@@ -205,7 +227,7 @@ def sharded_bcr_batch(state, reads, buf, n_rounds, *, K, so, lcap, mesh, d):
     read_specs = ReadStates(l=shard, u=shard, pk=shard)
     fn = shard_map(
         functools.partial(
-            sharded_bcr_batch_impl, K=K, so=so, lcap=lcap, d=d
+            sharded_bcr_batch_impl, K=K, so=so, lcap=lcap, d=d, axes=axes
         ),
         mesh=mesh,
         in_specs=(state_specs, read_specs, rep, rep),
@@ -296,7 +318,7 @@ class ShardedTpuBwt:
             np.asarray(local).dtype
         )
         psize, pcounts = old_psize, old_pcounts
-        sh = NamedSharding(self.mesh, P(AXIS))
+        sh = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
         rep = NamedSharding(self.mesh, P())
         self.state = ShardedBwt(
             bwt=jax.device_put(jnp.asarray(bwt), sh),
@@ -362,7 +384,7 @@ class ShardedTpuBwt:
             u[npad:] = l[npad:]
         else:
             u[npad:] = self._n_strings
-        sh = NamedSharding(self.mesh, P(AXIS))
+        sh = NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
         rep = NamedSharding(self.mesh, P())
         rs = ReadStates(
             l=jax.device_put(jnp.asarray(l), sh),

@@ -231,3 +231,25 @@ def test_sharded_cli_restore(ref_binary, rng, tmp_path):
     run_ref(ref_binary, ["-LRsb", "-o", ref_fmr, "-"], d1)
     want = run_ref(ref_binary, ["-LR", "-i", ref_fmr, "-"], d2)
     assert r2.stdout == want
+
+
+def test_multihost_2d_mesh_parity(rng):
+    """2x4 (host, shard) mesh: the engine over the flattened axis tuple
+    must match the single-device build byte-for-byte (SURVEY.md §7.7 —
+    the virtual-host analogue of a 2-host x 4-chip pod slice)."""
+    import jax
+
+    from ropebwt2_tpu.parallel.mesh import make_mesh2d
+    from ropebwt2_tpu.parallel.sharded import ShardedTpuBwt
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh2d(2, 4)
+    reads = random_reads(rng, n=48, lo=4, hi=22, with_n=True)
+    single = TpuBwt(so=SO_RLO, K=256)
+    single.insert_multi(reads)
+    eng = ShardedTpuBwt(so=SO_RLO, K=256, mesh=mesh)
+    eng.insert_multi(reads[:20])
+    eng.insert_multi(reads[20:])
+    assert np.array_equal(eng.bwt_array(), single.bwt_array())
+    assert np.array_equal(eng.counts(), single.counts())
