@@ -183,8 +183,240 @@ def _local_merge(comm, bwt_loc, gX, sym, stream, active, lcap, K):
     return new_loc, local_pref + base[None, :]
 
 
+# ---------------------------------------------------------------------------
+# Deferred-merge sharded engine (multi-round insertion buffering per shard)
+#
+# The distributed re-expression of the single-device pending index
+# (index/pending.py): each shard keeps a pending side index for insertions
+# whose BASE position falls in its fixed range [s*lcap, (s+1)*lcap), stored
+# in LOCAL coordinates vp_local = b + j_local (b = base insertion point,
+# j_local = the entry's rank within this shard's pending set).  vp_local is
+# INVARIANT under other shards' activity; the only global state is the
+# replicated per-shard pending-count prefix ``ppref`` (D+1,) and occ prefix
+# ``pocc`` (D, 6), updated with one small psum per round.
+#
+# Virtual-position algebra (all exact, no int64 vectors needed per shard):
+#   V[s]            = s*lcap + ppref[s]     -- shard s's virtual range start
+#   owner(g)        = s  with  V[s] <= g < V[s+1]  (V is ascending)
+#   local virtual   gl = g - ppref[s]
+#   pending below   p_loc = |{ vp_local < gl }|   (blocked descent)
+#   base position   b  = gl - p_loc   -- provably in [s*lcap, (s+1)*lcap)
+#   rank(g)         = base_rank(b - s*lcap) + pocc[s] + occ_loc
+#
+# Insertions route by owner(gX) (start-of-round coords); their local tie
+# rank is stream - S0[owner] (owner stream ranges are contiguous because
+# insertion points are non-decreasing in stream).  Every defer_r rounds
+# each shard flushes its pending into its frozen base window locally, then
+# ships its tail spill (the merged content past (s+1)*lcap, at most
+# D*pcap symbols) one hop right — the flush-time analogue of the per-round
+# drift stitch.  Constraint: D*pcap <= lcap (single-hop spill).
+# ---------------------------------------------------------------------------
+
+
+def _v_route(gpos, V):
+    """Owner shard of each global virtual position: V is the replicated
+    ascending (D+1,) boundary vector; owner = #(V[1:D] <= g)."""
+    return jnp.sum(
+        (gpos[:, None] >= V[None, 1:-1]).astype(I32), axis=1
+    )
+
+
+def _routed_rank_virtual_fn(comm, bwt_loc, blkp_loc, pend, lcap, K,
+                            ppref, pocc):
+    """Deferred-mode routed rank: owner answers from frozen base tables +
+    its local pending index + the replicated below-shard prefixes.
+
+    All owner-side arithmetic runs in WINDOW coordinates (wl = g -
+    ppref[s] - s*lcap in [0, lcap + P_s)), so the pending index and the
+    descent stay int32 regardless of the global capacity."""
+    from ..index.pending import pending_rank
+
+    def rank_fn(gpos):
+        pdt = gpos.dtype
+        V = (
+            jnp.arange(comm.d + 1, dtype=pdt) * lcap
+            + ppref.astype(pdt)
+        )
+        tgt = _v_route(gpos, V)
+        valid = jnp.ones(gpos.shape[0], bool)
+        rv, (rq,), route = comm.exchange(
+            tgt, valid, [gpos], slot_cap=_slot_cap(gpos.shape[0], comm.d)
+        )
+        lpdt = pend.vp.dtype
+        my_v0 = ppref[comm.s].astype(pdt) + comm.s.astype(pdt) * lcap
+        wl = jnp.clip(rq - my_v0, 0, lcap + pend.cap).astype(lpdt)
+        p_loc, occ_loc = pending_rank(pend, wl)
+        loff = jnp.clip(wl - p_loc, 0, lcap)
+        base = rank_global(bwt_loc, blkp_loc, loff, K)
+        ans = (
+            base
+            + pocc[comm.s][None, :].astype(base.dtype)
+            + occ_loc.astype(base.dtype)
+        )
+        return comm.reply(route, ans)
+
+    return rank_fn
+
+
+def _pending_route_add(comm, pend, gX, sym, stream, active, lcap,
+                       ppref, pocc):
+    """Route one round's insertions to their owner shards (by V-interval of
+    the start-of-round insertion point) and merge them into each owner's
+    local pending index; update the replicated prefixes."""
+    from ..index.pending import pending_add
+
+    from ..index.scan import _EXACT
+
+    pdt = gX.dtype
+    V = jnp.arange(comm.d + 1, dtype=pdt) * lcap + ppref.astype(pdt)
+    tgt = _v_route(gX, V)
+    # per-owner insertion counts and per-owner/per-symbol occ, psum'd
+    oh_t = (tgt[:, None] == jnp.arange(comm.d, dtype=I32)[None, :])
+    oh_t = oh_t & active[:, None]
+    hist = jax.lax.psum(jnp.sum(oh_t, axis=0, dtype=I32), comm.axis)
+    ohs = (sym[:, None] == jnp.arange(NSYM, dtype=I32)[None, :])
+    occ_add = jax.lax.psum(
+        jnp.einsum(
+            "md,ms->ds", oh_t.astype(jnp.float32),
+            ohs.astype(jnp.float32), precision=_EXACT,
+        ).astype(I32),
+        comm.axis,
+    )
+    S0 = jnp.concatenate(
+        [jnp.zeros(1, I32), jnp.cumsum(hist)]
+    )  # (D+1,) exclusive stream prefix per owner
+
+    rv, (rgX, rsym, rstream), _ = comm.exchange(
+        tgt, active, [gX, sym, stream.astype(I32)],
+        slot_cap=_slot_cap(gX.shape[0], comm.d),
+    )
+    lpdt = pend.vp.dtype
+    my_v0 = ppref[comm.s].astype(pdt) + comm.s.astype(pdt) * lcap
+    wl = jnp.clip(rgX - my_v0, 0, lcap + pend.cap).astype(lpdt)
+    stream_loc = rstream - S0[comm.s]
+    pend = pending_add(pend, wl, rsym, stream_loc, rv)
+
+    new_ppref = ppref + S0
+    new_pocc = pocc + jnp.concatenate(
+        [jnp.zeros((1, NSYM), I32), jnp.cumsum(occ_add, axis=0)[:-1]]
+    )
+    return pend, new_ppref, new_pocc
+
+
+def _tables_with_global_base(comm, new_loc, lcap, K):
+    from ..index.flat import table_dtype
+
+    tdt = table_dtype(lcap * comm.d)
+    local_pref = build_block_tables(new_loc, K, dtype=tdt)
+    totals = local_pref[-1]
+    all_tot = jax.lax.all_gather(totals, comm.axis)
+    base = jnp.concatenate(
+        [jnp.zeros((1, NSYM), tdt), jnp.cumsum(all_tot, axis=0)[:-1]]
+    )[comm.s]
+    return local_pref + base[None, :]
+
+
+def _flush_sharded(comm, bwt_loc, pend, lcap, K, ppref):
+    """Materialize each shard's pending into its base window and re-align
+    windows to the fixed base ranges: local coalesced merge into a
+    (lcap + D*pcap) scratch, then ship the tail spill one hop right."""
+    from ..index.merge import apply_insertions
+    from ..index.pending import pending_flush_args
+
+    pcap = pend.cap
+    SPILL = comm.d * pcap
+    lpdt = pend.vp.dtype
+
+    pos, sym, stream, valid = pending_flush_args(pend)
+    # pos = vp_local - i are already WINDOW-local base positions [0, lcap)
+    pos_loc = jnp.clip(pos, 0, lcap).astype(lpdt)
+    scratch = jnp.concatenate(
+        [bwt_loc, jnp.full((SPILL,), PAD, jnp.int8)]
+    )
+    merged = apply_insertions(
+        scratch, None, pos_loc, sym, stream.astype(lpdt), valid
+    )
+
+    my_pp = ppref[comm.s]
+    start = jnp.clip(lcap - my_pp, 0, lcap).astype(I32)
+    spill = jax.lax.dynamic_slice(merged, (start,), (SPILL,))
+    incoming = jax.lax.ppermute(
+        spill, comm.axis, [(i, i + 1) for i in range(comm.d - 1)]
+    )
+    head = jnp.concatenate(
+        [incoming, jnp.full((max(lcap - SPILL, 0),), PAD, jnp.int8)]
+    )[:lcap]
+    ext = jnp.concatenate([jnp.zeros((SPILL,), jnp.int8), merged[:lcap]])
+    body = jax.lax.dynamic_slice(
+        ext, ((SPILL - my_pp).astype(I32),), (lcap,)
+    )
+    iota = jnp.arange(lcap, dtype=I32)
+    new_loc = jnp.where(iota < my_pp, head, body)
+    return new_loc, _tables_with_global_base(comm, new_loc, lcap, K)
+
+
+def sharded_bcr_batch_deferred_impl(state, reads, buf, n_rounds, *, K, so,
+                                    lcap, d, axes, defer_r, pcap):
+    from ..index.pending import empty_pending, reset_pending
+
+    ml = reads.l.shape[0]
+    comm = ShardComm(axes, ml, d)
+    nr = n_rounds.astype(I32)
+    pend0 = empty_pending(pcap, I32)
+    n_super = (nr + defer_r - 1) // defer_r
+
+    def outer(sidx, carry):
+        st, rd, pend = carry
+        bwt_loc = st.bwt[0]
+        blkp_loc = st.blk_prefix[0]
+        lo = sidx * defer_r
+        ppref0 = jnp.zeros((d + 1,), I32)
+        pocc0 = jnp.zeros((d, NSYM), I32)
+
+        def inner(dcol, c):
+            (n, psize, pcounts), rd, pend, ppref, pocc = c
+            rank_fn = _routed_rank_virtual_fn(
+                comm, bwt_loc, blkp_loc, pend, lcap, K, ppref, pocc
+            )
+            new_rd, gX, sym, stream, active, insb, n_ins = plan_round(
+                psize, pcounts, rd, buf, dcol.astype(I32), dcol == 0,
+                rank_fn, so=so, comm=comm,
+            )
+            pend, ppref, pocc = _pending_route_add(
+                comm, pend, gX, sym, stream, active, lcap, ppref, pocc
+            )
+            return (
+                (n + n_ins, psize + jnp.sum(insb, axis=1),
+                 pcounts + insb),
+                new_rd, pend, ppref, pocc,
+            )
+
+        (nn, psz, pc), rd, pend, ppref, _ = jax.lax.fori_loop(
+            lo, jnp.minimum(lo + defer_r, nr), inner,
+            ((st.n, st.psize, st.pcounts), rd, pend, ppref0, pocc0),
+        )
+        new_loc, new_blkp = _flush_sharded(
+            comm, bwt_loc, pend, lcap, K, ppref
+        )
+        st = ShardedBwt(
+            bwt=new_loc[None], blk_prefix=new_blkp[None],
+            n=nn, psize=psz, pcounts=pc,
+        )
+        return st, rd, reset_pending(pend)
+
+    st, rd, _ = jax.lax.fori_loop(
+        0, n_super, outer, (state, reads, pend0)
+    )
+    return st, rd
+
+
 def sharded_bcr_batch_impl(state, reads, buf, n_rounds, *, K, so, lcap, d,
-                           axes=AXIS):
+                           axes=AXIS, defer_r=0, pcap=0):
+    if defer_r > 0:
+        return sharded_bcr_batch_deferred_impl(
+            state, reads, buf, n_rounds, K=K, so=so, lcap=lcap, d=d,
+            axes=axes, defer_r=defer_r, pcap=pcap,
+        )
     ml = reads.l.shape[0]  # local read rows
     comm = ShardComm(axes, ml, d)
 
@@ -214,10 +446,11 @@ def sharded_bcr_batch_impl(state, reads, buf, n_rounds, *, K, so, lcap, d,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "so", "lcap", "mesh", "d"),
+    static_argnames=("K", "so", "lcap", "mesh", "d", "defer_r", "pcap"),
     donate_argnums=(0, 1),
 )
-def sharded_bcr_batch(state, reads, buf, n_rounds, *, K, so, lcap, mesh, d):
+def sharded_bcr_batch(state, reads, buf, n_rounds, *, K, so, lcap, mesh, d,
+                      defer_r=0, pcap=0):
     axes = tuple(mesh.axis_names)  # 1-D ("s",) or 2-D ("h", "s")
     shard = P(axes)
     rep = P()
@@ -227,7 +460,8 @@ def sharded_bcr_batch(state, reads, buf, n_rounds, *, K, so, lcap, mesh, d):
     read_specs = ReadStates(l=shard, u=shard, pk=shard)
     fn = shard_map(
         functools.partial(
-            sharded_bcr_batch_impl, K=K, so=so, lcap=lcap, d=d, axes=axes
+            sharded_bcr_batch_impl, K=K, so=so, lcap=lcap, d=d, axes=axes,
+            defer_r=defer_r, pcap=pcap,
         ),
         mesh=mesh,
         in_specs=(state_specs, read_specs, rep, rep),
@@ -241,7 +475,7 @@ class ShardedTpuBwt:
     """Multi-device BWT builder: same API surface as TpuBwt; BWT sharded by
     position range, read state sharded by sorted rank over a 1-D mesh."""
 
-    def __init__(self, so=SO_IO, K=128, mesh=None):
+    def __init__(self, so=SO_IO, K=128, mesh=None, defer_r=None):
         # K=128 matches the tuned single-device default (engine/bcr.py):
         # one rank-table row per 128-lane gather row
         if mesh is None:
@@ -257,6 +491,40 @@ class ShardedTpuBwt:
         self.state = None  # created lazily at first plan
         self._lcap = 0
         self._seed = None  # (flat_bwt, psize, pcounts) from a restore
+        # deferred-merge depth: -1 auto, 0 off, >0 fixed (same knob as the
+        # single-device engine)
+        if defer_r is None:
+            import os
+
+            defer_r = int(os.environ.get("ROPEBWT2_TPU_DEFER_R", "-1"))
+        self._defer_cfg = defer_r
+
+    def _choose_defer(self, mpad):
+        """(defer_r, pcap) for the next batch.  pcap is per SHARD, sized
+        for the adversarial worst case (every insertion of every deferred
+        round routed to one shard); deferral is disabled when the flush
+        spill buffer D*pcap would not fit a single hop (> lcap) or the
+        window coordinates would leave int32."""
+        from ..index.pending import pending_cap
+
+        if self._defer_cfg >= 0:
+            r = self._defer_cfg
+        else:
+            import math
+
+            ratio = 0.055 * self._lcap * self.d / max(mpad, 1)
+            r = int(math.sqrt(ratio)) if ratio >= 1 else 0
+            if r > 0:
+                r = 1 << min(6, (r - 1).bit_length())
+        while r > 1:
+            pcap = pending_cap(mpad, r)
+            if (
+                self.d * pcap <= self._lcap
+                and self._lcap + self.d * pcap < (1 << 31)
+            ):
+                return r, pcap
+            r //= 2
+        return 0, 0
 
     @classmethod
     def from_single(cls, single, mesh=None):
@@ -392,6 +660,7 @@ class ShardedTpuBwt:
             pk=jax.device_put(jnp.asarray(pk), sh),
         )
         jbuf = jax.device_put(jnp.asarray(buf), rep)
+        defer_r, pcap = self._choose_defer(mpad)
         self.state, _ = sharded_bcr_batch(
             self.state,
             rs,
@@ -402,6 +671,8 @@ class ShardedTpuBwt:
             lcap=self._lcap,
             mesh=self.mesh,
             d=self.d,
+            defer_r=defer_r,
+            pcap=pcap,
         )
         self._n += total
         self._n_strings += m

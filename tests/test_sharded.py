@@ -253,3 +253,41 @@ def test_multihost_2d_mesh_parity(rng):
     eng.insert_multi(reads[20:])
     assert np.array_equal(eng.bwt_array(), single.bwt_array())
     assert np.array_equal(eng.counts(), single.counts())
+
+
+@pytest.mark.parametrize("so", [SO_IO, SO_RLO, SO_RCLO])
+def test_sharded_deferred_parity(so, rng):
+    """Deferred-merge sharded path (per-shard pending, V-interval routing,
+    spill-shipping flush) must be byte-identical to the single-device
+    engine on the 8-device mesh, across incremental batches."""
+    import jax
+    from ropebwt2_tpu.parallel.sharded import ShardedTpuBwt
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    reads = random_reads(rng, n=72, lo=4, hi=24, with_n=True)
+    single = TpuBwt(so=so, K=256)
+    single.insert_multi(reads[:40])
+    single.insert_multi(reads[40:])
+    eng = ShardedTpuBwt(so=so, K=256, defer_r=4)
+    eng.insert_multi(reads[:40])
+    eng.insert_multi(reads[40:])
+    assert np.array_equal(eng.bwt_array(), single.bwt_array())
+    assert np.array_equal(eng.counts(), single.counts())
+
+
+def test_sharded_deferred_2d_mesh(rng):
+    """Deferred sharded path over the 2-D (host, shard) mesh."""
+    import jax
+    from ropebwt2_tpu.parallel.mesh import make_mesh2d
+    from ropebwt2_tpu.parallel.sharded import ShardedTpuBwt
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    reads = random_reads(rng, n=40, lo=5, hi=18)
+    single = TpuBwt(so=SO_RLO, K=256)
+    single.insert_multi(reads)
+    eng = ShardedTpuBwt(so=SO_RLO, K=256, mesh=make_mesh2d(2, 4),
+                        defer_r=4)
+    eng.insert_multi(reads)
+    assert np.array_equal(eng.bwt_array(), single.bwt_array())
