@@ -71,6 +71,29 @@ def empty_state(cap: int, K: int) -> FlatBwt:
     )
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("old_cap", "new_cap", "K"),
+                   donate_argnums=(0, 1))
+def _grow_arrays(bwt, blk_prefix, *, old_cap, new_cap, K):
+    new_bwt = jnp.concatenate(
+        [
+            bwt[:old_cap],
+            jnp.full((new_cap + PAD_TAIL - old_cap,), PAD, dtype=jnp.int8),
+        ]
+    )
+    tdt = table_dtype(new_cap)
+    old_rows = old_cap // K + 1  # rows covering [0, old_cap]
+    kept = blk_prefix[:old_rows].astype(tdt)
+    boundary = kept[old_rows - 1 : old_rows]
+    extra = (new_cap + PAD_TAIL) // K + 1 - old_rows
+    new_blk = jnp.concatenate(
+        [kept, jnp.broadcast_to(boundary, (extra, NSYM))]
+    )
+    return new_bwt, new_blk
+
+
 def grow_state(state: FlatBwt, new_cap: int, K: int) -> FlatBwt:
     """Re-plan to a larger capacity (host-side, between batches).
 
@@ -81,25 +104,17 @@ def grow_state(state: FlatBwt, new_cap: int, K: int) -> FlatBwt:
     engine would otherwise pay between batches.  Rows of the old table
     beyond the live prefix may hold garbage (Pallas merge contract); the
     repeated row propagates that garbage only to rows past n, which no
-    consumer reads (same contract as flat.py's buffer slack)."""
+    consumer reads (same contract as flat.py's buffer slack).
+
+    One jitted call (donated inputs): on the tunneled TPU backend every
+    EAGER op is a separate remote compile + round trip, which turned this
+    into a minutes-long stall at Gsym capacities."""
     assert new_cap % K == 0 and new_cap >= state.cap
     if new_cap == state.cap:
         return state
-    bwt = jnp.concatenate(
-        [
-            state.bwt[: state.cap],
-            jnp.full(
-                (new_cap + PAD_TAIL - state.cap,), PAD, dtype=jnp.int8
-            ),
-        ]
-    )
-    tdt = table_dtype(new_cap)
-    old_rows = state.cap // K + 1  # rows covering [0, old_cap]
-    kept = state.blk_prefix[:old_rows].astype(tdt)
-    boundary = kept[old_rows - 1 : old_rows]
-    extra = (new_cap + PAD_TAIL) // K + 1 - old_rows
-    blk_prefix = jnp.concatenate(
-        [kept, jnp.broadcast_to(boundary, (extra, NSYM))]
+    bwt, blk_prefix = _grow_arrays(
+        state.bwt, state.blk_prefix,
+        old_cap=state.cap, new_cap=new_cap, K=K,
     )
     return FlatBwt(
         bwt=bwt,
