@@ -182,6 +182,205 @@ def _expand(insm32, aligned, rows_per_block):
     return jnp.where(is_ins, (insm32 - 1).astype(jnp.int8), v)
 
 
+def _counts_bitplane(out32):
+    """Per-row counts of symbols 0..5 in TWO exact f32 MXU dots instead of
+    six indicator dots: encode bit planes (b0, b1, b2) and pair masks
+    (b0&b1 = {3}, b0&b2 = {5}, ==0) into 8-bit fields (row sums <= 128 <
+    2^8; three fields x 128 lanes < 2^24 stays exact in f32), then decode:
+    n3 = p01, n5 = p02, n1 = s0 - n3 - n5, n6 = p12 (garbage rows only),
+    n2 = s1 - n3 - n6, n4 = s2 - n5 - n6, n0 = z."""
+    srows = out32.shape[0]
+    b0 = out32 & 1
+    b1 = (out32 >> 1) & 1
+    b2 = (out32 >> 2) & 1
+    enc1 = (b0 + (b1 << 8) + (b2 << 16)).astype(jnp.float32)
+    p01 = b0 & b1
+    p12 = b1 & b2  # symbol 6 = PAD (garbage region); needed to correct n2/n4
+    p02 = b0 & b2
+    z = jnp.where(out32 == 0, 1, 0)
+    enc2 = (p01 + (p02 << 8) + (z << 16)).astype(jnp.float32)
+    enc3 = p12.astype(jnp.float32)
+    ones_row = jnp.ones((1, LANE), jnp.float32)
+
+    def dot(e):
+        return jax.lax.dot_general(
+            ones_row, e, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(I32)  # (1, SROWS)
+
+    d1, d2, d3 = dot(enc1), dot(enc2), dot(enc3)
+    s0, s1, s2 = d1 & 255, (d1 >> 8) & 255, d1 >> 16
+    n3, n5, n0 = d2 & 255, (d2 >> 8) & 255, d2 >> 16
+    n6 = d3
+    n1 = s0 - n3 - n5
+    n2 = s1 - n3 - n6
+    n4 = s2 - n5 - n6
+    cnt = jnp.concatenate(
+        [n0, n1, n2, n3, n4, n5, jnp.zeros((2, srows), I32)], axis=0
+    )
+    return cnt
+
+
+def _merge_body_fused(bsz, start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
+                      oldA, oldB, insA, insB, outA, outB, cntA, cntB,
+                      oldshare, inshare, stackv, insstackv, sems):
+    """Fused-ladder variant: the window-misalignment correction (10 static
+    shifts) and the insertion expand (12-13 static shifts) collapse into
+    ONE conditional-shift ladder over the stacked windows, with shift
+    distance u = c + (1024 - rem) in [1, B + 1024] — both components ride
+    the same bits.  Valid for the same reason as each ladder alone: u is
+    non-decreasing within a window with slope <= 1 (c is a segmented
+    prefix, rem is constant per window), so processing bits high-to-low
+    with window-containment masks reconstructs out[p] = old[p - c(p)]
+    shifted into alignment.  Counts use the 2-dot bit-plane encode."""
+    ROWS, WROWS, SUPER, STACK_ROWS = _geom(bsz)
+    B = bsz
+    nb_static = (old_hbm.shape[0] - PAD_ROWS) // ROWS
+    nsb = start_ref[nb_static + 1]
+
+    def in_copies(sb, slot):
+        rowq_s, _ = _window_scalars(start_ref, sb, B, SUPER)
+        oldv, insv = (oldA, insA) if slot == 0 else (oldB, insB)
+        cp_old = pltpu.make_async_copy(
+            old_hbm.at[pl.ds(rowq_s, SWROWS), :], oldv, sems.at[slot]
+        )
+        cp_ins = pltpu.make_async_copy(
+            ins_hbm.at[pl.ds(sb * SROWS, SROWS), :], insv, sems.at[2 + slot]
+        )
+        return cp_old, cp_ins
+
+    def out_copy(sb, slot):
+        outv = outA if slot == 0 else outB
+        return pltpu.make_async_copy(
+            outv, out_ref.at[pl.ds(sb * SROWS, SROWS), :], sems.at[4 + slot]
+        )
+
+    def cnt_copy(sb, slot):
+        cntv = cntA if slot == 0 else cntB
+        return pltpu.make_async_copy(
+            cntv, cnt_ref.at[pl.ds(sb * 8, 8), :], sems.at[6 + slot]
+        )
+
+    def start_in(sb):
+        for slot in (0, 1):
+            @pl.when((sb % 2) == slot)
+            def _():
+                a, b = in_copies(sb, slot)
+                a.start()
+                b.start()
+
+    @pl.when(nsb > 0)
+    def _():
+        start_in(0)
+
+    def super_body(sb, _):
+        rowq_s, b0 = _window_scalars(start_ref, sb, B, SUPER)
+
+        for slot in (0, 1):
+            oldv, insv = (oldA, insA) if slot == 0 else (oldB, insB)
+
+            @pl.when((sb % 2) == slot)
+            def _():
+                a, b = in_copies(sb, slot)
+                a.wait()
+                b.wait()
+                oldshare[...] = oldv[...]
+                inshare[...] = insv[...]
+
+        @pl.when(sb + 1 < nsb)
+        def _():
+            start_in(sb + 1)
+
+        # stack the windows and restack the insertion map at +8 rows (the
+        # 1024-symbol alignment offset the fused ladder shifts against)
+        rems = []
+        insstackv[...] = jnp.zeros((STACK_ROWS, LANE), jnp.int8)
+        for j in range(SUPER):
+            b = b0 + j
+            s = start_ref[b]
+            rowq_j = pl.multiple_of(
+                (b * (B // (8 * LANE))
+                 - (s + 8 * LANE - 1) // (8 * LANE)) * 8, 8
+            )
+            off = pl.multiple_of(rowq_j - rowq_s, 8)
+            rems.append((8 * LANE - (s & (8 * LANE - 1))) & (8 * LANE - 1))
+            stackv[j * WROWS : (j + 1) * WROWS, :] = oldshare[
+                pl.ds(off, WROWS), :
+            ]
+            insstackv[j * WROWS + 8 : (j + 1) * WROWS, :] = inshare[
+                j * ROWS : (j + 1) * ROWS, :
+            ]
+        srow = jax.lax.broadcasted_iota(I32, (STACK_ROWS, 1), 0) // WROWS
+        rem_vec = jnp.zeros((STACK_ROWS, 1), I32)
+        for j in range(SUPER):
+            rem_vec = jnp.where(srow == j, rems[j], rem_vec)
+
+        insm32 = insstackv[...].astype(I32)
+        is_ins = insm32 != 0
+        c = _seg_flat_prefix(jnp.where(is_ins, 1, 0).astype(I32), WROWS)
+        u = c + (8 * LANE - rem_vec)  # in [1, B + 1024]
+
+        v = stackv[...]
+        rowb = jax.lax.broadcasted_iota(I32, (STACK_ROWS, 1), 0) % WROWS
+        lane = jax.lax.broadcasted_iota(I32, (STACK_ROWS, LANE), 1)
+        nbits = (WROWS * LANE - 1).bit_length()
+        for k in range(nbits - 1, -1, -1):
+            step = 1 << k
+            if step >= WROWS * LANE:
+                continue
+            if step >= LANE:
+                sh = _row_rotate_down(v, step // LANE)
+                ok = rowb >= (step // LANE)
+            else:
+                sh = _flat_shift_right(v, step)
+                ok = (rowb > 0) | (lane >= step)
+            v = jnp.where(((u & step) != 0) & ok, sh, v)
+        outst = jnp.where(is_ins, (insm32 - 1).astype(jnp.int8), v)
+
+        # compact: output rows are the +8-row band of each window
+        out = jnp.concatenate(
+            [outst[j * WROWS + 8 : (j + 1) * WROWS] for j in range(SUPER)],
+            axis=0,
+        )
+
+        cnt = _counts_bitplane(out.astype(I32))
+
+        for slot in (0, 1):
+            outv = outA if slot == 0 else outB
+            cntv = cntA if slot == 0 else cntB
+
+            @pl.when(((sb % 2) == slot) & (sb >= 2))
+            def _():
+                out_copy(sb - 2, slot).wait()
+                cnt_copy(sb - 2, slot).wait()
+
+            @pl.when((sb % 2) == slot)
+            def _():
+                outv[...] = out
+                cntv[...] = cnt
+                out_copy(sb, slot).start()
+                cnt_copy(sb, slot).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, nsb, super_body, 0)
+
+    for back in (2, 1):
+        @pl.when(nsb >= back)
+        def _():
+            sb = nsb - back
+            for slot in (0, 1):
+                @pl.when((sb % 2) == slot)
+                def _():
+                    out_copy(sb, slot).wait()
+                    cnt_copy(sb, slot).wait()
+
+
+def _merge_kernel_fused(bsz, start_ref, old_hbm, ins_hbm, *refs):
+    with jax.enable_x64(False):
+        _merge_body_fused(bsz, start_ref, old_hbm, ins_hbm, *refs)
+
+
 def _window_scalars(start_ref, sb, bsz, superb):
     """(rowq_s, b0) for super-block sb.
 
@@ -347,9 +546,16 @@ def _merge_body(bsz, start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
                     cnt_copy(sb, slot).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("K", "interpret", "block"))
+def _fused_default():
+    import os
+
+    return os.environ.get("ROPEBWT2_TPU_KFUSED", "0") == "1"
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("K", "interpret", "block", "fused"))
 def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
-                 interpret=False, block=None):
+                 interpret=False, block=None, fused=None):
     """Apply one round's insertions; returns (new_bwt, blk_prefix int32).
 
     ``bwt`` is the slack-carrying allocation (cap + PAD_ROWS*LANE int8
@@ -404,8 +610,27 @@ def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
 
     _, wrows, _, stack_rows = _geom(bsz)
     nsb_total = cap_rows // SROWS
+    if fused is None:
+        fused = _fused_default()
+    scratch = [
+        pltpu.VMEM((SWROWS, LANE), jnp.int8),  # oldA
+        pltpu.VMEM((SWROWS, LANE), jnp.int8),  # oldB
+        pltpu.VMEM((SROWS, LANE), jnp.int8),  # insA
+        pltpu.VMEM((SROWS, LANE), jnp.int8),  # insB
+        pltpu.VMEM((SROWS, LANE), jnp.int8),  # outA
+        pltpu.VMEM((SROWS, LANE), jnp.int8),  # outB
+        pltpu.VMEM((8, SROWS), I32),  # cntA
+        pltpu.VMEM((8, SROWS), I32),  # cntB
+        pltpu.VMEM((SWROWS, LANE), jnp.int8),  # oldshare
+        pltpu.VMEM((SROWS, LANE), jnp.int8),  # inshare
+        pltpu.VMEM((stack_rows, LANE), jnp.int8),  # stackv
+    ]
+    if fused:
+        scratch.append(pltpu.VMEM((stack_rows, LANE), jnp.int8))  # insstackv
+    scratch.append(pltpu.SemaphoreType.DMA((8,)))
+    kern = _merge_kernel_fused if fused else _merge_kernel
     new_bwt, cnt_out = pl.pallas_call(
-        functools.partial(_merge_kernel, bsz),
+        functools.partial(kern, bsz),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # start_ins
             pl.BlockSpec(memory_space=pl.ANY),  # old bwt (rows, 128)
@@ -419,20 +644,7 @@ def merge_pallas(bwt, pos, sym, stream, valid, n=None, *, K,
             jax.ShapeDtypeStruct((cap_rows + PAD_ROWS, LANE), jnp.int8),
             jax.ShapeDtypeStruct((nsb_total * 8, SROWS), I32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((SWROWS, LANE), jnp.int8),  # oldA
-            pltpu.VMEM((SWROWS, LANE), jnp.int8),  # oldB
-            pltpu.VMEM((SROWS, LANE), jnp.int8),  # insA
-            pltpu.VMEM((SROWS, LANE), jnp.int8),  # insB
-            pltpu.VMEM((SROWS, LANE), jnp.int8),  # outA
-            pltpu.VMEM((SROWS, LANE), jnp.int8),  # outB
-            pltpu.VMEM((8, SROWS), I32),  # cntA
-            pltpu.VMEM((8, SROWS), I32),  # cntB
-            pltpu.VMEM((SWROWS, LANE), jnp.int8),  # oldshare
-            pltpu.VMEM((SROWS, LANE), jnp.int8),  # inshare
-            pltpu.VMEM((stack_rows, LANE), jnp.int8),  # stackv
-            pltpu.SemaphoreType.DMA((8,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(start_ins, bwt.reshape(cap_rows + PAD_ROWS, LANE),

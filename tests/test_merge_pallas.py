@@ -187,3 +187,56 @@ def test_row_unit_scalar_formulas_match_symbol_units():
             # every 32-bit intermediate of the new formulas stays in range
             for v in (b * q, (s + 1023) // 1024, rowq_new):
                 assert -(1 << 31) <= v < (1 << 31), (bsz, b, s, v)
+
+
+def _check_fused(rng, bwt, n, pos, sym, stream, valid, K, trial=""):
+    jb = jnp.asarray(bwt)
+    jargs = [jnp.asarray(x) for x in (pos, sym, stream, valid)]
+    ref = apply_insertions(jb, jnp.asarray(n), *jargs)
+    got, got_pref = merge_pallas(
+        jb, *jargs, n=jnp.asarray(n), K=K, interpret=True, fused=True
+    )
+    lim = n + int(valid.sum())
+    assert np.array_equal(
+        np.asarray(ref)[:lim], np.asarray(got)[:lim]
+    ), trial
+    limk = lim // K
+    assert np.array_equal(
+        np.asarray(build_block_tables(ref, K))[: limk + 1],
+        np.asarray(got_pref)[: limk + 1],
+    ), trial
+
+
+def test_merge_pallas_fused_matches_reference(rng):
+    """The fused-ladder kernel variant (align + expand in one conditional
+    shift chain, bit-plane counts) must be byte- and table-identical to the
+    jnp reference, including dense rounds and garbage tails."""
+    for trial in range(6):
+        CAP, M, K = 131072, 96, 256
+        n = int(rng.integers(1, CAP - M))
+        bwt = _mk(rng, CAP, n, garbage_tail=trial % 2 == 1)
+        A = int(rng.integers(1, M + 1))
+        pos = np.sort(rng.integers(0, n + 1, A))
+        allpos = np.zeros(M, np.int64)
+        allpos[:A] = pos
+        sym = np.zeros(M, np.int32)
+        sym[:A] = rng.integers(0, 6, A)
+        stream = np.zeros(M, np.int64)
+        stream[:A] = np.arange(A)
+        valid = np.zeros(M, bool)
+        valid[:A] = True
+        _check_fused(rng, bwt, n, allpos, sym, stream, valid, K, trial)
+
+
+def test_merge_pallas_fused_dense_and_multiblock(rng):
+    """Fused variant under dense clustered insertions (many per block) and
+    a multi-super-block capacity."""
+    CAP, M, K = 262144, 512, 128
+    n = 200000
+    bwt = _mk(rng, CAP, n)
+    # cluster insertions into a narrow band to stress in-block expand
+    pos = np.sort(rng.integers(140000, 141000, M)).astype(np.int64)
+    sym = rng.integers(0, 6, M).astype(np.int32)
+    stream = np.arange(M, dtype=np.int64)
+    valid = np.ones(M, bool)
+    _check_fused(rng, bwt, n, pos, sym, stream, valid, K)
