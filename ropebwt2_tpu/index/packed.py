@@ -1,0 +1,137 @@
+"""4-bit packed BWT storage (2 symbols/byte) — the capacity mode.
+
+The reference holds 122 Gbp in 34 GB RAM because its index is run-length
+compressed (/root/reference/rle.h:39-75, README.md:36-39).  The flat TPU
+buffer at 1 byte/symbol caps a v5e chip near ~2 Gsym once the merge
+double-buffer and insertion map are counted; nibble packing halves both
+the resident footprint and the HBM traffic of every rank gather and merge
+DMA, carrying a single chip to >= 4 Gsym.
+
+Packing layout — VERTICAL PLANE PAIRS at 128-symbol row granularity:
+
+    packed[r, j] = sym[(2r) * 128 + j]  |  sym[(2r+1) * 128 + j] << 4
+
+i.e. the low nibbles of packed row r are symbol row 2r and the high
+nibbles are symbol row 2r+1.  Chosen over adjacent-pair packing because a
+SYMBOL ROW stays a complete 128-lane vector in one nibble plane: every
+lane-dimension operation (rank in-block counts, the merge kernel's lane
+shifts, prefix scans) applies per plane unchanged, and extracting a row
+costs one shift+mask instead of a lane interleave (which Mosaic cannot
+express cheaply).
+
+Rank tables in capacity mode are TWO-LEVEL (the device analogue of rld0's
+superblock frame, rld0.c:163-205): an int64 anchor row per 2^24 symbols
+plus int32 per-K-block counts relative to the anchor — int64 vector
+gathers are ~10x slower on TPU and the anchor level keeps them off the
+hot path at any capacity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..alphabet import NSYM
+from .flat import PAD
+from .scan import cumsum_blocked
+
+LANE = 128
+ACHUNK = 1 << 24  # symbols per int64 anchor row
+I32 = jnp.int32
+I64 = jnp.int64
+
+
+def pack_bwt(sym_flat):
+    """int8[N] symbols (N % 256 == 0) -> uint8[N//2] vertical-pair bytes."""
+    rows = sym_flat.reshape(-1, 2, LANE).astype(jnp.uint8)
+    return (rows[:, 0, :] | (rows[:, 1, :] << 4)).reshape(-1)
+
+
+def unpack_bwt(packed_flat):
+    """uint8[N//2] -> int8[N] symbols (inverse of pack_bwt)."""
+    p = packed_flat.reshape(-1, LANE)
+    lo = (p & 0xF).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    return jnp.stack([lo, hi], axis=1).reshape(-1)
+
+
+def pack_bwt_np(sym_flat):
+    rows = sym_flat.reshape(-1, 2, LANE).astype(np.uint8)
+    return (rows[:, 0, :] | (rows[:, 1, :] << 4)).reshape(-1)
+
+
+def unpack_bwt_np(packed_flat):
+    p = packed_flat.reshape(-1, LANE)
+    out = np.empty((p.shape[0], 2, LANE), np.int8)
+    out[:, 0, :] = p & 0xF
+    out[:, 1, :] = p >> 4
+    return out.reshape(-1)
+
+
+def build_two_level_tables(packed_flat, cap):
+    """(blkA int64[(cap >> 24) + 2, 6], blkB int32[cap//128 + 1, 6]) for
+    K = 128: blkB[i] = counts in [anchor_start(i), i*128), blkA[a] =
+    absolute counts in [0, a << 24).  Built in 6 single-symbol passes (no
+    (cap, 6) bool intermediate)."""
+    p = packed_flat[: cap // 2].reshape(-1, LANE)
+    lo = (p & 0xF).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    cnts = []
+    for s in range(NSYM):
+        c_lo = (lo == s).sum(axis=1, dtype=I32)
+        c_hi = (hi == s).sum(axis=1, dtype=I32)
+        cnts.append(jnp.stack([c_lo, c_hi], axis=1).reshape(-1))
+    cnt = jnp.stack(cnts, axis=1)  # (cap//128, 6) per symbol-row counts
+    return tables_from_row_counts(cnt, cap)
+
+
+def tables_from_row_counts(cnt, cap):
+    """Two-level tables from per-128-symbol-row counts (int32 (cap//128,6))."""
+    nrows = cap // LANE
+    rows_per_chunk = ACHUNK // LANE
+    csum = cumsum_blocked(cnt.astype(I64))  # inclusive, int64 exact
+    full = jnp.concatenate([jnp.zeros((1, NSYM), I64), csum])
+    na = (cap + ACHUNK - 1) // ACHUNK
+    anchors = full[
+        jnp.minimum(
+            jnp.arange(na + 1, dtype=I32) * rows_per_chunk, nrows
+        )
+    ]  # (na+1, 6) int64 absolute
+    arow = (
+        jnp.arange(nrows + 1, dtype=I32) // rows_per_chunk
+    )  # anchor index per block row
+    rel = full - anchors[jnp.minimum(arow, na)]
+    return anchors, rel.astype(I32)
+
+
+def rank_global_packed(pbwt, blkA, blkB, pos, K=LANE):
+    """Batched 6-symbol rank over the packed buffer with two-level tables.
+    K is fixed at 128 (one table row per symbol row).  pos: int[Q],
+    0 <= pos <= n.  Returns (Q, 6) int64."""
+    assert K == LANE
+    blk = (pos // LANE).astype(I32)  # symbol row
+    within = (pos % LANE).astype(I32)
+    base = blkA[(pos // ACHUNK).astype(I32)] + blkB[blk].astype(I64)
+    prow = blk >> 1
+    nrp = pbwt.shape[0] // LANE
+    rows = pbwt.reshape(-1, LANE)[jnp.clip(prow, 0, nrp - 1)]  # (Q, 128)
+    r32 = rows.astype(I32)
+    nib = jnp.where(
+        (blk & 1)[:, None] == 1, (r32 >> 4) & 0xF, r32 & 0xF
+    ).astype(jnp.int8)
+    j = jnp.arange(LANE, dtype=I32)
+    inmask = j[None, :] < within[:, None]
+    sym = jnp.arange(NSYM, dtype=jnp.int8)
+    eq = nib[:, :, None] == sym[None, None, :]
+    inc = (eq & inmask[:, :, None]).sum(axis=1, dtype=I32)
+    return base + inc.astype(I64)
+
+
+def apply_insertions_packed(pbwt, n, pos, sym, stream, valid):
+    """jnp reference merge on packed storage: unpack -> merge -> repack.
+    Used on CPU (tests, virtual meshes); the TPU path is the packed Pallas
+    kernel (merge_pallas_packed)."""
+    from .merge import apply_insertions
+
+    sym_flat = unpack_bwt(pbwt)
+    new = apply_insertions(sym_flat, n, pos, sym, stream, valid)
+    return pack_bwt(jnp.where(new > 6, 6, new))

@@ -1,0 +1,132 @@
+"""4-bit packed storage: round-trip, two-level tables, packed rank, and
+packed merge must agree exactly with the int8 formulation."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ropebwt2_tpu.index.packed import (
+    apply_insertions_packed,
+    build_two_level_tables,
+    pack_bwt,
+    pack_bwt_np,
+    rank_global_packed,
+    unpack_bwt,
+    unpack_bwt_np,
+)
+from ropebwt2_tpu.index.merge import apply_insertions
+from ropebwt2_tpu.index.rank import build_block_tables, rank_global
+
+
+def test_pack_roundtrip(rng):
+    n = 512 * 128
+    syms = rng.integers(0, 7, n).astype(np.int8)
+    p = pack_bwt_np(syms)
+    assert np.array_equal(unpack_bwt_np(p), syms)
+    jp = np.asarray(pack_bwt(jnp.asarray(syms)))
+    assert np.array_equal(jp, p)
+    assert np.array_equal(np.asarray(unpack_bwt(jnp.asarray(p))), syms)
+
+
+def test_packed_rank_matches_int8(rng):
+    cap = 1 << 16
+    n = cap - 300
+    syms = np.full(cap, 6, np.int8)
+    syms[:n] = rng.integers(0, 6, n)
+    pb = jnp.asarray(pack_bwt_np(syms))
+    blkA, blkB = build_two_level_tables(pb, cap)
+    blk = build_block_tables(jnp.asarray(syms), 128, dtype=jnp.int64)
+    pos = np.concatenate(
+        [rng.integers(0, n + 1, 500), [0, 1, 127, 128, 129, 255, 256, n]]
+    ).astype(np.int64)
+    want = np.asarray(rank_global(jnp.asarray(syms), blk, jnp.asarray(pos), 128))
+    got = np.asarray(rank_global_packed(pb, blkA, blkB, jnp.asarray(pos)))
+    assert np.array_equal(got, want)
+
+
+def test_packed_merge_matches_int8(rng):
+    cap = 1 << 15
+    n = cap - 2048
+    syms = np.full(cap, 6, np.int8)
+    syms[:n] = rng.integers(0, 6, n)
+    M, A = 128, 100
+    pos = np.zeros(M, np.int64)
+    pos[:A] = np.sort(rng.integers(0, n + 1, A))
+    sym = np.zeros(M, np.int32)
+    sym[:A] = rng.integers(0, 6, A)
+    stream = np.zeros(M, np.int64)
+    stream[:A] = np.arange(A)
+    valid = np.zeros(M, bool)
+    valid[:A] = True
+    jargs = [jnp.asarray(x) for x in (pos, sym, stream, valid)]
+    want = np.asarray(
+        apply_insertions(jnp.asarray(syms), jnp.asarray(n), *jargs)
+    )
+    got_p = apply_insertions_packed(
+        jnp.asarray(pack_bwt_np(syms)), jnp.asarray(n), *jargs
+    )
+    got = unpack_bwt_np(np.asarray(got_p))
+    lim = n + A
+    assert np.array_equal(got[:lim], want[:lim])
+
+
+def test_two_level_anchor_boundaries(rng):
+    """Anchor arithmetic at the 2^24 chunk boundary (simulated with a
+    capacity above one chunk would be 16 Msym; instead verify the anchor
+    formula by consistency: A[a] + B[blk] == absolute prefix counts)."""
+    cap = 1 << 16
+    syms = rng.integers(0, 6, cap).astype(np.int8)
+    pb = jnp.asarray(pack_bwt_np(syms))
+    blkA, blkB = build_two_level_tables(pb, cap)
+    want = np.asarray(build_block_tables(jnp.asarray(syms), 128,
+                                         dtype=jnp.int64))
+    got = np.asarray(blkA)[
+        (np.arange(cap // 128 + 1) * 128) >> 24
+    ] + np.asarray(blkB)
+    assert np.array_equal(got, want)
+
+
+def test_merge_pallas_packed_interpret(rng):
+    """The packed two-plane kernel (interpret mode) must agree with the
+    int8 jnp reference merge and the two-level tables on the live prefix."""
+    import jax.numpy as jnp
+    from ropebwt2_tpu.index.merge_pallas_packed import (
+        PPAD_ROWS, merge_pallas_packed,
+    )
+
+    CAP, M, K = 131072, 96, 128
+    for trial in range(4):
+        n = int(rng.integers(1, CAP - M))
+        syms = np.full(CAP + PPAD_ROWS * 256, 6, np.int8)
+        syms[:n] = rng.integers(0, 6, n)
+        if trial % 2:
+            syms[n:] = rng.integers(0, 16, CAP + PPAD_ROWS * 256 - n)
+        pb = pack_bwt_np(syms)
+        A = int(rng.integers(1, M + 1))
+        pos = np.zeros(M, np.int64)
+        pos[:A] = np.sort(rng.integers(0, n + 1, A))
+        sym = np.zeros(M, np.int32)
+        sym[:A] = rng.integers(0, 6, A)
+        stream = np.zeros(M, np.int64)
+        stream[:A] = np.arange(A)
+        valid = np.zeros(M, bool)
+        valid[:A] = True
+        jargs = [jnp.asarray(x) for x in (pos, sym, stream, valid)]
+
+        want = np.asarray(apply_insertions(
+            jnp.asarray(syms), jnp.asarray(n), *jargs
+        ))
+        got_p, blkA, blkB = merge_pallas_packed(
+            jnp.asarray(pb), *jargs, n=jnp.asarray(n), K=K, interpret=True
+        )
+        got = unpack_bwt_np(np.asarray(got_p))
+        lim = n + A
+        assert np.array_equal(got[:lim], want[:lim]), trial
+
+        want_tab = np.asarray(build_block_tables(
+            jnp.asarray(want[:CAP]), 128, dtype=jnp.int64
+        ))
+        limk = lim // 128
+        got_tab = np.asarray(blkA)[
+            (np.arange(limk + 1) * 128) >> 24
+        ] + np.asarray(blkB)[: limk + 1]
+        assert np.array_equal(got_tab, want_tab[: limk + 1]), trial
