@@ -58,7 +58,7 @@ def inner():
     from ropebwt2_tpu.engine import TpuBwt
 
     rng = np.random.default_rng(0)
-    reads = rng.integers(1, 5, size=(M, L)).astype(np.int8)
+    reads = rng.integers(1, 5, size=(M, L), dtype=np.uint8).view(np.int8)
     syms = M * (L + 1)
     dev = jax.devices()[0]
     devs = f"{dev.platform}:{dev.device_kind}"

@@ -24,7 +24,7 @@ def main():
     with open(out, "wb") as f:
         while done < nreads:
             m = min(mbatch, nreads - done)
-            reads = rng.integers(1, 5, size=(m, L)).astype(np.int8)
+            reads = rng.integers(1, 5, size=(m, L), dtype=np.uint8).view(np.int8)
             lines = np.empty((m, L + 1), np.uint8)
             lines[:, :L] = LUT[reads]
             lines[:, L] = ord("\n")

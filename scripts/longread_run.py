@@ -52,7 +52,7 @@ def main():
 
     # one ragged batch (the reference would batch by -m bytes; a single
     # batch is the honest worst case for round count: rounds = max len + 1)
-    reads = [rng.integers(1, 5, size=int(ln)).astype(np.int8)
+    reads = [rng.integers(1, 5, size=int(ln), dtype=np.uint8).view(np.int8)
              for ln in lens]
 
     eng = TpuBwt(so=so, defer_r=int(defer) if defer else None)

@@ -119,7 +119,7 @@ def main():
         jax.block_until_ready(eng.state.bwt)
         eng._n = n0
         eng._n_strings = n_sent
-        reads = rng.integers(1, 5, size=(M, L)).astype(np.int8)
+        reads = rng.integers(1, 5, size=(M, L), dtype=np.uint8).view(np.int8)
 
         tc = time.time()
         eng.insert_multi(reads)
@@ -128,7 +128,7 @@ def main():
 
         walls = []
         for _b in range(nbat):
-            reads = rng.integers(1, 5, size=(M, L)).astype(np.int8)
+            reads = rng.integers(1, 5, size=(M, L), dtype=np.uint8).view(np.int8)
             tb = time.time()
             eng.insert_multi(reads)
             _ = eng.counts()

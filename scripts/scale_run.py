@@ -59,7 +59,7 @@ def main():
     done = 0
     while done < nreads:
         m = min(mbatch, nreads - done)
-        reads = rng.integers(1, 5, size=(m, L)).astype(np.int8)
+        reads = rng.integers(1, 5, size=(m, L), dtype=np.uint8).view(np.int8)
         tb = time.time()
         eng.insert_multi(reads)
         # force completion: device->host transfer is the only reliable sync
