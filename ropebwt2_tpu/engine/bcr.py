@@ -43,7 +43,7 @@ from ..index.pending import (
     pending_add,
     pending_cap,
     pending_flush_args,
-    rank_virtual,
+    rank_virtual_base,
     reset_pending,
 )
 from ..index.rank import build_block_tables, rank_global
@@ -63,6 +63,54 @@ def _use_pallas_merge(cap: int, K: int) -> bool:
         and cap // mp.LANE < (1 << 30)  # in-kernel scalars: 32-bit ROW units
         and K % mp.LANE == 0
     )
+
+
+def _state_rank_fn(state, K, pdt):
+    """rank_fn(gpos) -> (M, 6) in the plan's position dtype, for either
+    state representation (int8 flat or 4-bit packed)."""
+    from ..index.packed import PackedFlatBwt, rank_global_packed
+
+    if isinstance(state, PackedFlatBwt):
+        return lambda g: rank_global_packed(
+            state.pbwt, state.blkA, state.blkB, g
+        ).astype(pdt)
+    return lambda g: rank_global(state.bwt, state.blk_prefix, g, K)
+
+
+def _state_merge(state, gX, sym, stream, active, n, K):
+    """Apply one round's insertions to either state representation.
+    Returns the updated buffer/table fields as a partial state (dict)."""
+    from ..index.packed import (
+        PackedFlatBwt,
+        apply_insertions_packed,
+        build_two_level_tables,
+    )
+
+    if isinstance(state, PackedFlatBwt):
+        if _use_pallas_merge(state.cap, K):
+            from ..index.merge_pallas_packed import merge_pallas_packed
+
+            pbwt, blkA, blkB = merge_pallas_packed(
+                state.pbwt, gX, sym, stream, active, n=n, K=K
+            )
+        else:
+            pbwt = apply_insertions_packed(
+                state.pbwt, n, gX, sym, stream, active
+            )
+            blkA, blkB = build_two_level_tables(pbwt, state.cap)
+        return dict(pbwt=pbwt, blkA=blkA, blkB=blkB)
+    if _use_pallas_merge(state.cap, K):
+        from ..index.merge_pallas import merge_pallas
+
+        new_bwt, new_blk = merge_pallas(
+            state.bwt, gX, sym, stream, active, n=n, K=K
+        )
+    else:
+        new_bwt = apply_insertions(state.bwt, n, gX, sym, stream, active)
+        new_blk = build_block_tables(
+            new_bwt, K, dtype=state.blk_prefix.dtype
+        )
+    return dict(bwt=new_bwt, blk_prefix=new_blk)
 
 I64 = jnp.int64
 I32 = jnp.int32
@@ -395,37 +443,23 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     return new_reads, gX, sym, stream, active, ins_bucket, n_ins
 
 
-def bcr_round_impl(state: FlatBwt, reads: ReadStates, buf, d, is_first, *, K, so):
+def bcr_round_impl(state, reads: ReadStates, buf, d, is_first, *, K, so):
     """One BCR round: insert the d-th (from read end) symbol of every active
-    read. Returns (new_state, new_reads, n_inserted)."""
-    rank_fn = lambda gpos: rank_global(  # noqa: E731
-        state.bwt, state.blk_prefix, gpos, K
-    )
+    read. Returns (new_state, new_reads, n_inserted).  ``state`` is either
+    a FlatBwt or a PackedFlatBwt (capacity mode)."""
+    rank_fn = _state_rank_fn(state, K, reads.l.dtype)
     new_reads, gX, sym, stream, active, ins_bucket, n_ins = plan_round(
         state.psize, state.pcounts, reads, buf, d, is_first, rank_fn,
         so=so,
     )
     # ---- merge (+ fused rank-table rebuild on the Pallas path) ----
-    if _use_pallas_merge(state.cap, K):
-        from ..index.merge_pallas import merge_pallas
-
-        new_bwt, new_blk_prefix = merge_pallas(
-            state.bwt, gX, sym, stream, active, n=state.n, K=K
-        )
-    else:
-        new_bwt = apply_insertions(
-            state.bwt, state.n, gX, sym, stream, active
-        )
-        new_blk_prefix = build_block_tables(
-            new_bwt, K, dtype=state.blk_prefix.dtype
-        )
-
-    new_state = FlatBwt(
-        bwt=new_bwt,
+    merged = _state_merge(state, gX, sym, stream, active, state.n, K)
+    new_state = dataclasses.replace(
+        state,
         n=state.n + n_ins,
         psize=state.psize + jnp.sum(ins_bucket, axis=1),
         pcounts=state.pcounts + ins_bucket,
-        blk_prefix=new_blk_prefix,
+        **merged,
     )
     return new_state, new_reads, n_ins
 
@@ -435,27 +469,15 @@ bcr_round = functools.partial(
 )(bcr_round_impl)
 
 
-def _flush_pending(st: FlatBwt, pend, *, K):
+def _flush_pending(st, pend, *, K):
     """Apply the whole pending set to the base buffer in one merge pass
     and reset the pending index.  st.n/psize/pcounts already reflect the
     virtual totals (updated per round); only the buffer and its rank
-    tables change."""
+    tables change.  Works on either state representation."""
     pos, sym, stream, valid = pending_flush_args(pend)
     n_base = st.n - pend.p.astype(st.n.dtype)
-    if _use_pallas_merge(st.cap, K):
-        from ..index.merge_pallas import merge_pallas
-
-        new_bwt, new_blk = merge_pallas(
-            st.bwt, pos, sym, stream, valid, n=n_base, K=K
-        )
-    else:
-        new_bwt = apply_insertions(st.bwt, n_base, pos, sym, stream, valid)
-        new_blk = build_block_tables(new_bwt, K, dtype=st.blk_prefix.dtype)
-    new_st = FlatBwt(
-        bwt=new_bwt, n=st.n, psize=st.psize, pcounts=st.pcounts,
-        blk_prefix=new_blk,
-    )
-    return new_st, reset_pending(pend)
+    merged = _state_merge(st, pos, sym, stream, valid, n_base, K)
+    return dataclasses.replace(st, **merged), reset_pending(pend)
 
 
 def bcr_batch_deferred_impl(state, reads, buf, n_rounds, *, K, so, defer_r,
@@ -474,12 +496,13 @@ def bcr_batch_deferred_impl(state, reads, buf, n_rounds, *, K, so, defer_r,
 
     def outer(sidx, carry):
         st, rd, pend = carry
-        bwt, blk = st.bwt, st.blk_prefix  # frozen through the inner loop
+        # base buffer + tables frozen through the inner loop
+        base_fn = _state_rank_fn(st, K, reads.l.dtype)
         lo = sidx * defer_r
 
         def inner(d, c):
             (n, psize, pcounts), rd, pend = c
-            rank_fn = lambda g: rank_virtual(bwt, blk, pend, g, K)  # noqa: E731
+            rank_fn = lambda g: rank_virtual_base(base_fn, pend, g)  # noqa: E731
             new_rd, gX, sym, stream, active, ins_bucket, n_ins = plan_round(
                 psize, pcounts, rd, buf, d.astype(I32), d == 0, rank_fn,
                 so=so,
@@ -496,8 +519,7 @@ def bcr_batch_deferred_impl(state, reads, buf, n_rounds, *, K, so, defer_r,
             lo, jnp.minimum(lo + defer_r, nr), inner,
             ((st.n, st.psize, st.pcounts), rd, pend),
         )
-        st = FlatBwt(bwt=bwt, n=n, psize=psize, pcounts=pcounts,
-                     blk_prefix=blk)
+        st = dataclasses.replace(st, n=n, psize=psize, pcounts=pcounts)
         st, pend = _flush_pending(st, pend, K=K)
         return st, rd, pend
 
@@ -695,9 +717,47 @@ class TpuBwt:
 
     # --- capacity planning ---
 
+    @staticmethod
+    def _pack_threshold():
+        """Symbols above which the index switches to 4-bit packed storage
+        (index/packed.py).  'auto' = 2^31 (where int8 storage stops
+        fitting the worm-scale memory budget and positions leave int32
+        anyway); '0' disables; any integer = explicit threshold."""
+        v = os.environ.get("ROPEBWT2_TPU_PACK4", "auto")
+        if v == "0":
+            return None
+        if v == "auto":
+            return 1 << 31
+        return int(v)
+
     def _plan(self, extra_symbols: int):
+        from ..index.packed import (
+            PackedFlatBwt,
+            grow_packed_state,
+            packed_from_flat,
+        )
+
         need = self._n + extra_symbols
         cap = self.state.cap
+        thr = self._pack_threshold()
+        is_packed = isinstance(self.state, PackedFlatBwt)
+        want_packed = thr is not None and (need > thr or is_packed)
+        if want_packed:
+            assert self.K == 128, "packed mode requires K=128 tables"
+            new_cap = cap if need <= cap else _round_up(
+                _pad_pow2(need, lo=256), 256
+            )
+            new_cap = _round_up(new_cap, 256)
+            if is_packed:
+                if new_cap > cap:
+                    self.state = grow_packed_state(self.state, new_cap)
+            else:
+                if cap % 256:
+                    self.state = grow_state(
+                        self.state, _round_up(cap, 256), self.K
+                    )
+                self.state = packed_from_flat(self.state, new_cap)
+            return
         if need > cap:
             cap = _round_up(_pad_pow2(need, lo=self.K), self.K)
             self.state = grow_state(self.state, cap, self.K)
@@ -926,7 +986,12 @@ class TpuBwt:
 
     def bwt_array(self) -> np.ndarray:
         """The full BWT as an int8 numpy array (host transfer)."""
+        from ..index.packed import PackedFlatBwt, unpack_bwt_np
+
         n = self.n
+        if isinstance(self.state, PackedFlatBwt):
+            nb = -(-n // 256) * 128  # packed bytes covering the prefix
+            return unpack_bwt_np(np.asarray(self.state.pbwt[:nb]))[:n]
         return np.asarray(self.state.bwt[:n])
 
     def runs(self):

@@ -21,28 +21,50 @@ I64 = jnp.int64
 def _state_K(state, K):
     """Block size is derivable from the state's shapes; an explicit K only
     needs to be passed to override (and must then match the engine's)."""
+    from ..index.packed import PackedFlatBwt
+
+    if isinstance(state, PackedFlatBwt):
+        return 128  # packed tables are per-symbol-row
     if K is not None:
         return K
     return state.bwt.shape[0] // (state.blk_prefix.shape[0] - 1)
+
+
+def _pos_dtype(state):
+    from ..index.packed import PackedFlatBwt
+
+    if isinstance(state, PackedFlatBwt):
+        return I64 if state.cap >= (1 << 31) else jnp.int32
+    return state.blk_prefix.dtype
+
+
+def _base_rank(state, pos, K):
+    from ..index.packed import PackedFlatBwt, rank_global_packed
+    from ..index.rank import rank_global as _rg
+
+    if isinstance(state, PackedFlatBwt):
+        return rank_global_packed(
+            state.pbwt, state.blkA, state.blkB, pos
+        ).astype(_pos_dtype(state))
+    return _rg(state.bwt, state.blk_prefix, pos, K)
 
 
 def _C(state):
     """Accumulative counts C(a) = # symbols < a (rld's e->cnt after finish).
     shape (7,): C[6] = total.  Returned in the index's position dtype
     (int32 while the capacity fits — int64 vector math is ~10x slower on
-    TPU, so query position arithmetic follows blk_prefix's dtype)."""
+    TPU)."""
     tot = state.pcounts.sum(axis=0)
     C = jnp.concatenate([jnp.zeros(1, I64), cumsum_small(tot)])
-    return C.astype(state.blk_prefix.dtype)
+    return C.astype(_pos_dtype(state))
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
 def rank1a(state, pos, *, K=None):
     """occ[q, s] = # of symbol s in BWT[0:pos[q]] (rld_rank1a / mr_rank2a
     single-point)."""
-    return rank_global(
-        state.bwt, state.blk_prefix, pos.astype(state.blk_prefix.dtype),
-        _state_K(state, K),
+    return _base_rank(
+        state, pos.astype(_pos_dtype(state)), _state_K(state, K)
     )
 
 
@@ -50,9 +72,9 @@ def rank1a(state, pos, *, K=None):
 def rank2a(state, x, y, *, K=None):
     """Two-point rank: returns (occ_x, occ_y), each (Q, 6)."""
     K = _state_K(state, K)
-    pdt = state.blk_prefix.dtype
-    ox = rank_global(state.bwt, state.blk_prefix, x.astype(pdt), K)
-    oy = rank_global(state.bwt, state.blk_prefix, y.astype(pdt), K)
+    pdt = _pos_dtype(state)
+    ox = _base_rank(state, x.astype(pdt), K)
+    oy = _base_rank(state, y.astype(pdt), K)
     return ox, oy
 
 
@@ -85,7 +107,7 @@ def extend(state, ik, *, is_back=True, K=None):
     Returns ok: (Q, 6, 3) — for each symbol a, the bi-interval of (aP) for
     backward or (Pa~) for forward extension, in the index position dtype."""
     C = _C(state)
-    ik = ik.astype(state.blk_prefix.dtype)
+    ik = ik.astype(_pos_dtype(state))
     p = ik[:, 0] if is_back else ik[:, 1]
     tk, tl = rank2a(state, p, p + ik[:, 2], K=K)
     size = tl - tk  # (Q, 6)
@@ -118,7 +140,7 @@ def backward_search(state, patterns, lengths, *, K=None):
     C = _C(state)
     q, lmax = patterns.shape
     n = C[NSYM]
-    pdt = state.blk_prefix.dtype
+    pdt = _pos_dtype(state)
 
     def body(i, carry):
         lo, hi = carry

@@ -497,23 +497,32 @@ def _merge_body(bsz, start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
         insm32 = inshare[...].astype(I32)
         out = _expand(insm32, aligned, ROWS)
 
-        # stage 3: per-row symbol counts via MXU ones-contraction — counts
-        # land in the LANE dimension, DMA-able (one widen of out for the
-        # six eq-compares; int8 vectors have no compare ops)
-        out32 = out.astype(I32)
-        ones_row = jnp.ones((1, LANE), jnp.float32)
-        crows = []
-        for sidx in range(NSYM):
-            ind = (out32 == sidx).astype(jnp.float32)
-            crows.append(
-                jax.lax.dot_general(
-                    ones_row, ind,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )  # (1, SROWS)
-        crows.append(jnp.zeros((2, SROWS), jnp.float32))
-        cnt = jnp.concatenate(crows, axis=0).astype(I32)
+        # stage 3: per-row symbol counts.  Impl selected at TRACE time:
+        # "6dot" = one MXU ones-contraction per symbol (original);
+        # "bitplane" = 3 dots over bit-plane encodes (_counts_bitplane);
+        # "none" = zeros (probe-only: isolates the count stage's cost).
+        import os as _os
+
+        _cimpl = _os.environ.get("ROPEBWT2_TPU_KCOUNTS", "6dot")
+        if _cimpl == "none":
+            cnt = jnp.zeros((8, SROWS), I32)
+        elif _cimpl == "bitplane":
+            cnt = _counts_bitplane(out.astype(I32))
+        else:
+            out32 = out.astype(I32)
+            ones_row = jnp.ones((1, LANE), jnp.float32)
+            crows = []
+            for sidx in range(NSYM):
+                ind = (out32 == sidx).astype(jnp.float32)
+                crows.append(
+                    jax.lax.dot_general(
+                        ones_row, ind,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )  # (1, SROWS)
+            crows.append(jnp.zeros((2, SROWS), jnp.float32))
+            cnt = jnp.concatenate(crows, axis=0).astype(I32)
 
         for slot in (0, 1):
             outv = outA if slot == 0 else outB

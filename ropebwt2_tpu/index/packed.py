@@ -26,6 +26,9 @@ gathers are ~10x slower on TPU and the anchor level keeps them off the
 hot path at any capacity.
 """
 
+import dataclasses
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,8 +39,110 @@ from .scan import cumsum_blocked
 
 LANE = 128
 ACHUNK = 1 << 24  # symbols per int64 anchor row
+PPAD_ROWS = 16  # packed-row tail slack (= merge_pallas_packed.PPAD_ROWS)
 I32 = jnp.int32
 I64 = jnp.int64
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PackedFlatBwt:
+    """Capacity-mode state: 4-bit packed buffer + two-level rank tables.
+    Drop-in sibling of flat.FlatBwt (same n/psize/pcounts bookkeeping);
+    the engine branches on the state type at trace time."""
+
+    pbwt: jax.Array  # uint8[cap//2 + PPAD_ROWS*LANE]
+    n: jax.Array  # int64 scalar
+    psize: jax.Array  # int64[6]
+    pcounts: jax.Array  # int64[6,6]
+    blkA: jax.Array  # int64[(cap >> 24) + 2, 6] anchor rows
+    blkB: jax.Array  # int32[cap//128 + 1, 6] anchor-relative rows
+
+    @property
+    def cap(self) -> int:
+        return (self.pbwt.shape[0] - PPAD_ROWS * LANE) * 2
+
+
+PACKED_PAD_BYTE = np.uint8(PAD | (PAD << 4))
+
+
+def empty_packed_state(cap: int) -> PackedFlatBwt:
+    assert cap % 256 == 0
+    na = (cap + ACHUNK - 1) // ACHUNK
+    return PackedFlatBwt(
+        pbwt=jnp.full((cap // 2 + PPAD_ROWS * LANE,), PACKED_PAD_BYTE,
+                      dtype=jnp.uint8),
+        n=jnp.zeros((), I64),
+        psize=jnp.zeros((NSYM,), I64),
+        pcounts=jnp.zeros((NSYM, NSYM), I64),
+        blkA=jnp.zeros((na + 1, NSYM), I64),
+        blkB=jnp.zeros((cap // LANE + 1, NSYM), I32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("old_cap", "new_cap"),
+                   donate_argnums=(0, 1, 2))
+def _grow_packed_arrays(pbwt, blkA, blkB, *, old_cap, new_cap):
+    """Extend the packed allocation and its tables.  Every appended table
+    row corresponds to a position >= old_cap >= n, which no consumer reads
+    (the flat.py garbage contract), and the next merge rebuilds both
+    levels from streamed counts — so the extension rows just repeat the
+    boundary values."""
+    new_p = jnp.concatenate([
+        pbwt[: old_cap // 2],
+        jnp.full((new_cap // 2 + PPAD_ROWS * LANE - old_cap // 2,),
+                 PACKED_PAD_BYTE, jnp.uint8),
+    ])
+    old_rows = old_cap // LANE + 1
+    rows_new = new_cap // LANE + 1
+    kept = blkB[:old_rows]
+    b_bound = kept[old_rows - 1 : old_rows]
+    new_B = jnp.concatenate([
+        kept, jnp.broadcast_to(b_bound, (rows_new - old_rows, NSYM))
+    ])
+    na_new = (new_cap + ACHUNK - 1) // ACHUNK
+    old_na = blkA.shape[0]
+    a_bound = blkA[old_na - 1 : old_na]
+    if na_new + 1 > old_na:
+        new_A = jnp.concatenate([
+            blkA, jnp.broadcast_to(a_bound, (na_new + 1 - old_na, NSYM))
+        ])
+    else:
+        new_A = blkA[: na_new + 1]
+    return new_p, new_A, new_B
+
+
+def grow_packed_state(state: PackedFlatBwt, new_cap: int) -> PackedFlatBwt:
+    assert new_cap % 256 == 0 and new_cap >= state.cap
+    if new_cap == state.cap:
+        return state
+    pbwt, blkA, blkB = _grow_packed_arrays(
+        state.pbwt, state.blkA, state.blkB,
+        old_cap=state.cap, new_cap=new_cap,
+    )
+    return PackedFlatBwt(pbwt=pbwt, n=state.n, psize=state.psize,
+                         pcounts=state.pcounts, blkA=blkA, blkB=blkB)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",), donate_argnums=(0,))
+def _pack_from_int8(bwt_alloc, *, cap):
+    body = jnp.where(bwt_alloc[:cap] > 6, 6, bwt_alloc[:cap])
+    packed = pack_bwt(body)
+    return jnp.concatenate([
+        packed.astype(jnp.uint8),
+        jnp.full((PPAD_ROWS * LANE,), PACKED_PAD_BYTE, jnp.uint8),
+    ])
+
+
+def packed_from_flat(state, new_cap: int) -> PackedFlatBwt:
+    """Convert an int8 FlatBwt into capacity mode at ``new_cap`` (>= the
+    old capacity): pack the buffer, then grow; tables are rebuilt once."""
+    assert new_cap % 256 == 0 and new_cap >= state.cap
+    pbwt = _pack_from_int8(state.bwt, cap=state.cap)
+    blkA, blkB = build_two_level_tables(pbwt, state.cap)
+    st = PackedFlatBwt(pbwt=pbwt, n=state.n, psize=state.psize,
+                       pcounts=state.pcounts, blkA=blkA, blkB=blkB)
+    return grow_packed_state(st, new_cap)
 
 
 def pack_bwt(sym_flat):

@@ -202,6 +202,14 @@ def rank_virtual(bwt, blk_prefix, pend: PendingIndex, g, K: int):
     return base + extra.astype(base.dtype)
 
 
+def rank_virtual_base(base_rank_fn, pend: PendingIndex, g):
+    """rank_virtual with an abstract base: base_rank_fn(pos) -> (Q, 6).
+    Used by the packed-storage and sharded engines."""
+    p, extra = pending_rank(pend, g)
+    base = base_rank_fn(g - p.astype(g.dtype))
+    return base + extra.astype(base.dtype)
+
+
 def pending_add(pend: PendingIndex, gX, sym, stream, active) -> PendingIndex:
     """Merge one round's insertions into the pending set (see module doc).
 
