@@ -183,12 +183,15 @@ def _expand(insm32, aligned, rows_per_block):
 
 
 def _counts_bitplane(out32):
-    """Per-row counts of symbols 0..5 in TWO exact f32 MXU dots instead of
-    six indicator dots: encode bit planes (b0, b1, b2) and pair masks
-    (b0&b1 = {3}, b0&b2 = {5}, ==0) into 8-bit fields (row sums <= 128 <
-    2^8; three fields x 128 lanes < 2^24 stays exact in f32), then decode:
-    n3 = p01, n5 = p02, n1 = s0 - n3 - n5, n6 = p12 (garbage rows only),
-    n2 = s1 - n3 - n6, n4 = s2 - n5 - n6, n0 = z."""
+    """Per-row counts of symbols 0..5 in THREE f32 MXU dots via bit-plane
+    field encodes.
+
+    WARNING (round-4 hardware finding): Mosaic MXU dots evaluate f32 in
+    bf16 by default, so only 0/1 indicator operands are exact on REAL
+    hardware — these multi-bit field encodes (values up to 2^16) get
+    rounded there while interpret mode stays exact.  Kept ONLY for the
+    counts-impl A/B knob (ROPEBWT2_TPU_KCOUNTS=bitplane, measured: counts
+    are overlap-free anyway); never enable it for real builds."""
     srows = out32.shape[0]
     b0 = out32 & 1
     b1 = (out32 >> 1) & 1
@@ -343,7 +346,20 @@ def _merge_body_fused(bsz, start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
             axis=0,
         )
 
-        cnt = _counts_bitplane(out.astype(I32))
+        # counts via 0/1-indicator dots — exact under Mosaic's default
+        # bf16 MXU evaluation (multi-bit encodes are NOT; see
+        # _counts_bitplane's warning)
+        out32c = out.astype(I32)
+        ones_row = jnp.ones((1, LANE), jnp.float32)
+        crows = []
+        for sidx in range(NSYM):
+            ind = (out32c == sidx).astype(jnp.float32)
+            crows.append(jax.lax.dot_general(
+                ones_row, ind, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        crows.append(jnp.zeros((2, SROWS), jnp.float32))
+        cnt = jnp.concatenate(crows, axis=0).astype(I32)
 
         for slot in (0, 1):
             outv = outA if slot == 0 else outB

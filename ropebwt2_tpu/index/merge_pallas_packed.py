@@ -294,40 +294,28 @@ def _merge_body_packed(bsz, start_ref, old_hbm, ins_hbm, out_ref, cnt_ref,
             axis=0,
         )
 
-        # counts per plane: 2-dot bit-plane encode each (see merge_pallas.
-        # _counts_bitplane); emitted as (16, SROWSP): rows 0..7 lo-plane
-        # (n0..n5 + 2 pad), rows 8..15 hi-plane; interleaved outside.
+        # counts per plane via 0/1-INDICATOR MXU dots (6 per plane).
+        # Mosaic MXU dots evaluate f32 in bf16 by default; only 0/1
+        # indicator operands are exact there — multi-bit field encodes
+        # (the bit-plane trick) get ROUNDED on hardware while interpret
+        # mode stays exact, corrupting the rank tables (round-4 bug).
+        # Emitted as (16, SROWSP): rows 0..7 lo-plane (n0..n5 + 2 pad),
+        # rows 8..15 hi-plane; interleaved to symbol-row order outside.
         o32 = out.astype(I32) & 0xFF
+        ones_row = jnp.ones((1, LANE), jnp.float32)
         cnt_parts = []
         for plane_vals in (o32 & 0xF, (o32 >> 4) & 0xF):
-            b0v = plane_vals & 1
-            b1v = (plane_vals >> 1) & 1
-            b2v = (plane_vals >> 2) & 1
-            enc1 = (b0v + (b1v << 8) + (b2v << 16)).astype(jnp.float32)
-            p01 = b0v & b1v
-            p02 = b0v & b2v
-            zz = jnp.where(plane_vals == 0, 1, 0)
-            enc2 = (p01 + (p02 << 8) + (zz << 16)).astype(jnp.float32)
-            enc3 = (b1v & b2v).astype(jnp.float32)
-            ones_row = jnp.ones((1, LANE), jnp.float32)
-
-            def dot(e):
-                return jax.lax.dot_general(
-                    ones_row, e, (((1,), (1,)), ((), ())),
+            crows = []
+            for sidx in range(NSYM):
+                ind = (plane_vals == sidx).astype(jnp.float32)
+                crows.append(jax.lax.dot_general(
+                    ones_row, ind, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ).astype(I32)
-
-            d1, d2, d3 = dot(enc1), dot(enc2), dot(enc3)
-            s0, s1, s2 = d1 & 255, (d1 >> 8) & 255, d1 >> 16
-            n3, n5, n0 = d2 & 255, (d2 >> 8) & 255, d2 >> 16
-            n6 = d3
-            n1 = s0 - n3 - n5
-            n2 = s1 - n3 - n6
-            n4 = s2 - n5 - n6
-            cnt_parts.append(jnp.concatenate(
-                [n0, n1, n2, n3, n4, n5,
-                 jnp.zeros((2, SROWSP), I32)], axis=0,
-            ))
+                ))
+            crows.append(jnp.zeros((2, SROWSP), jnp.float32))
+            cnt_parts.append(
+                jnp.concatenate(crows, axis=0).astype(I32)
+            )
         cnt = jnp.concatenate(cnt_parts, axis=0)  # (16, SROWSP)
 
         for slot in (0, 1):
