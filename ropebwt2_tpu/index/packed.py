@@ -190,22 +190,31 @@ def build_two_level_tables(packed_flat, cap):
 
 
 def tables_from_row_counts(cnt, cap):
-    """Two-level tables from per-128-symbol-row counts (int32 (cap//128,6))."""
+    """Two-level tables from per-128-symbol-row counts (int32 (cap//128,6)).
+
+    All wide arrays stay int32: the global inclusive prefix may WRAP past
+    2^31, but the relative rows blkB = prefix - anchor_prefix are < 2^24,
+    so the modular subtraction recovers them exactly; only the (na+1, 6)
+    anchor level (from per-chunk totals, each < 2^24) accumulates in
+    int64 — an int64 global cumsum here cost ~3 GB of transients at
+    4 Gsym capacities."""
     nrows = cap // LANE
-    rows_per_chunk = ACHUNK // LANE
-    csum = cumsum_blocked(cnt.astype(I64))  # inclusive, int64 exact
-    full = jnp.concatenate([jnp.zeros((1, NSYM), I64), csum])
+    rpc = ACHUNK // LANE
+    csum32 = cumsum_blocked(cnt.astype(I32))  # inclusive, wraps mod 2^32
+    full32 = jnp.concatenate([jnp.zeros((1, NSYM), I32), csum32])
     na = (cap + ACHUNK - 1) // ACHUNK
-    anchors = full[
-        jnp.minimum(
-            jnp.arange(na + 1, dtype=I32) * rows_per_chunk, nrows
-        )
-    ]  # (na+1, 6) int64 absolute
-    arow = (
-        jnp.arange(nrows + 1, dtype=I32) // rows_per_chunk
-    )  # anchor index per block row
-    rel = full - anchors[jnp.minimum(arow, na)]
-    return anchors, rel.astype(I32)
+    bnd = jnp.minimum(jnp.arange(na + 1, dtype=I32) * rpc, nrows)
+    bnd32 = full32[bnd]  # (na+1, 6) chunk-boundary prefixes (mod 2^32)
+    # per-chunk totals are exact after the modular difference (< 2^24)
+    tots = (bnd32[1:] - bnd32[:-1]).astype(I64)
+    anchors = jnp.concatenate(
+        [jnp.zeros((1, NSYM), I64), jnp.cumsum(tots, axis=0)]
+    )
+    arow = jnp.minimum(
+        jnp.arange(nrows + 1, dtype=I32) // rpc, na
+    )
+    rel = full32 - bnd32[arow]  # modular; true value < 2^24
+    return anchors, rel
 
 
 def rank_global_packed(pbwt, blkA, blkB, pos, K=LANE):
