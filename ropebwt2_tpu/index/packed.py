@@ -206,9 +206,14 @@ def tables_from_row_counts(cnt, cap):
     bnd = jnp.minimum(jnp.arange(na + 1, dtype=I32) * rpc, nrows)
     bnd32 = full32[bnd]  # (na+1, 6) chunk-boundary prefixes (mod 2^32)
     # per-chunk totals are exact after the modular difference (< 2^24)
+    from .scan import cumsum_small
+
     tots = (bnd32[1:] - bnd32[:-1]).astype(I64)
+    # cumsum_small: jnp.cumsum's int64 (u32-pair) reduce-window lowering
+    # requests pathological scoped VMEM at 4 Gsym capacities (HTTP 500,
+    # "should not be possible to run out of scoped vmem")
     anchors = jnp.concatenate(
-        [jnp.zeros((1, NSYM), I64), jnp.cumsum(tots, axis=0)]
+        [jnp.zeros((1, NSYM), I64), cumsum_small(tots, axis=0)]
     )
     arow = jnp.minimum(
         jnp.arange(nrows + 1, dtype=I32) // rpc, na
