@@ -744,9 +744,11 @@ class TpuBwt:
         want_packed = thr is not None and (need > thr or is_packed)
         if want_packed:
             assert self.K == 128, "packed mode requires K=128 tables"
-            new_cap = cap if need <= cap else _round_up(
-                _pad_pow2(need, lo=256), 256
-            )
+            # LINEAR rounding (1 Msym granularity), not pow2: capacity mode
+            # runs at HBM's edge (a 4.28 Gsym build compiles within 4 KB of
+            # the 16 GiB budget), and pow2 padding wastes up to 2x; the
+            # 2^20 multiple keeps cap % SUPER_B == 0 for the Pallas kernel
+            new_cap = cap if need <= cap else _round_up(need, 1 << 20)
             new_cap = _round_up(new_cap, 256)
             if is_packed:
                 if new_cap > cap:
