@@ -358,7 +358,6 @@ def merge_pallas_packed(pbwt, pos, sym, stream, valid, n=None, *, K=LANE,
 
     ``pbwt``: packed allocation of cap//2 + PPAD_ROWS*LANE bytes.
     Requires cap % SUPER_B == 0 and K == 128."""
-    from .packed import tables_from_row_counts
 
     cap_alloc_b = pbwt.shape[0]
     cap = (cap_alloc_b - PPAD_ROWS * LANE) * 2
@@ -444,11 +443,21 @@ def merge_pallas_packed(pbwt, pos, sym, stream, valid, n=None, *, K=LANE,
       insmap.astype(jnp.int8).reshape(cap_prows, LANE))
     new_pbwt = new_pbwt.reshape(-1).astype(jnp.uint8)
 
-    # counts -> symbol-row order -> two-level tables (interleave the lo/hi
-    # plane rows OUTSIDE the kernel where the reshape is free)
-    per_sb = cnt_out.reshape(nsb_total, 2, 8, SROWSP)  # (sb, plane, 8, rp)
-    rows6 = jnp.transpose(
-        per_sb[:, :, :NSYM, :], (0, 3, 1, 2)
-    ).reshape(nsb_total * SROWS, NSYM)  # symbol-row counts, interleaved
-    blkA, blkB = tables_from_row_counts(rows6[: cap // LANE], cap)
+    # counts -> plane-separated two-level tables.  NO symbol-row
+    # interleave: the transposed (nsb, 2, 6, 512) intermediate tile-pads
+    # its tiny minor dims ~20x on TPU (a 14.9 GB HLO temp at 4 Gsym);
+    # instead extract per-symbol per-plane 1-D streams with strided row
+    # slices and let tables_from_plane_counts do the pair algebra.
+    from .packed import tables_from_plane_counts
+
+    co = cnt_out.reshape(nsb_total, 16, SROWSP)
+    nprows = cap // (2 * LANE)
+    lo6 = jnp.stack(
+        [co[:, s, :].reshape(-1)[:nprows] for s in range(NSYM)], axis=1
+    )
+    hi6 = jnp.stack(
+        [co[:, 8 + s, :].reshape(-1)[:nprows] for s in range(NSYM)],
+        axis=1,
+    )
+    blkA, blkB = tables_from_plane_counts(lo6, hi6, cap)
     return new_pbwt, blkA, blkB

@@ -76,7 +76,8 @@ def empty_packed_state(cap: int) -> PackedFlatBwt:
         psize=jnp.zeros((NSYM,), I64),
         pcounts=jnp.zeros((NSYM, NSYM), I64),
         blkA=jnp.zeros((na + 1, NSYM), I64),
-        blkB=jnp.zeros((cap // LANE + 1, NSYM), I32),
+        # plane-separated layout: lo rows [0, N] + hi rows [N+1, 2N+1]
+        blkB=jnp.zeros((2 * (cap // 256) + 2, NSYM), I32),
     )
 
 
@@ -93,12 +94,18 @@ def _grow_packed_arrays(pbwt, blkA, blkB, *, old_cap, new_cap):
         jnp.full((new_cap // 2 + PPAD_ROWS * LANE - old_cap // 2,),
                  PACKED_PAD_BYTE, jnp.uint8),
     ])
-    old_rows = old_cap // LANE + 1
-    rows_new = new_cap // LANE + 1
-    kept = blkB[:old_rows]
-    b_bound = kept[old_rows - 1 : old_rows]
+    # plane-separated blkB: extend each plane block, repeating the
+    # boundary row (extension rows are all past n: garbage-tolerated)
+    n_old = old_cap // 256
+    n_new = new_cap // 256
+    lo_old = blkB[: n_old + 1]
+    hi_old = blkB[n_old + 1 :]
+    b_bound = lo_old[n_old : n_old + 1]
     new_B = jnp.concatenate([
-        kept, jnp.broadcast_to(b_bound, (rows_new - old_rows, NSYM))
+        lo_old,
+        jnp.broadcast_to(b_bound, (n_new - n_old, NSYM)),
+        hi_old[:n_old],
+        jnp.broadcast_to(b_bound, (n_new + 1 - n_old, NSYM)),
     ])
     na_new = (new_cap + ACHUNK - 1) // ACHUNK
     old_na = blkA.shape[0]
@@ -173,53 +180,65 @@ def unpack_bwt_np(packed_flat):
 
 
 def build_two_level_tables(packed_flat, cap):
-    """(blkA int64[(cap >> 24) + 2, 6], blkB int32[cap//128 + 1, 6]) for
-    K = 128: blkB[i] = counts in [anchor_start(i), i*128), blkA[a] =
-    absolute counts in [0, a << 24).  Built in 6 single-symbol passes (no
-    (cap, 6) bool intermediate)."""
+    """(blkA, blkB) for K = 128 in the PLANE-SEPARATED blkB layout (see
+    tables_from_plane_counts).  Built in 6 single-symbol passes with no
+    symbol-row interleave and no minor-dim-2 intermediate (both tile-pad
+    catastrophically on TPU)."""
     p = packed_flat[: cap // 2].reshape(-1, LANE)
-    lo = (p & 0xF).astype(jnp.int8)
-    hi = (p >> 4).astype(jnp.int8)
-    cnts = []
-    for s in range(NSYM):
-        c_lo = (lo == s).sum(axis=1, dtype=I32)
-        c_hi = (hi == s).sum(axis=1, dtype=I32)
-        cnts.append(jnp.stack([c_lo, c_hi], axis=1).reshape(-1))
-    cnt = jnp.stack(cnts, axis=1)  # (cap//128, 6) per symbol-row counts
-    return tables_from_row_counts(cnt, cap)
+    plo = (p & 0xF).astype(jnp.int8)
+    phi = (p >> 4).astype(jnp.int8)
+    lo6 = jnp.stack(
+        [(plo == s).sum(axis=1, dtype=I32) for s in range(NSYM)], axis=1
+    )
+    hi6 = jnp.stack(
+        [(phi == s).sum(axis=1, dtype=I32) for s in range(NSYM)], axis=1
+    )
+    return tables_from_plane_counts(lo6, hi6, cap)
 
 
-def tables_from_row_counts(cnt, cap):
-    """Two-level tables from per-128-symbol-row counts (int32 (cap//128,6)).
+def blkb_row(blk, nprows):
+    """blkB row index for symbol-row ``blk`` in the plane-separated layout:
+    lo-plane prefixes occupy rows [0, N], hi-plane rows [N+1, 2N+1]
+    (N = nprows = cap // 256)."""
+    return (blk >> 1) + (blk & 1) * (nprows + 1)
 
-    All wide arrays stay int32: the global inclusive prefix may WRAP past
-    2^31, but the relative rows blkB = prefix - anchor_prefix are < 2^24,
-    so the modular subtraction recovers them exactly; only the (na+1, 6)
-    anchor level (from per-chunk totals, each < 2^24) accumulates in
-    int64 — an int64 global cumsum here cost ~3 GB of transients at
-    4 Gsym capacities."""
-    nrows = cap // LANE
-    rpc = ACHUNK // LANE
-    csum32 = cumsum_blocked(cnt.astype(I32))  # inclusive, wraps mod 2^32
-    full32 = jnp.concatenate([jnp.zeros((1, NSYM), I32), csum32])
-    na = (cap + ACHUNK - 1) // ACHUNK
-    bnd = jnp.minimum(jnp.arange(na + 1, dtype=I32) * rpc, nrows)
-    bnd32 = full32[bnd]  # (na+1, 6) chunk-boundary prefixes (mod 2^32)
-    # per-chunk totals are exact after the modular difference (< 2^24)
+
+def tables_from_plane_counts(lo6, hi6, cap):
+    """Two-level tables from per-PACKED-row per-plane symbol counts (each
+    int32 (cap//256, 6)).
+
+    blkB layout is PLANE-SEPARATED - row u holds the prefix at symbol row
+    2u, row (N+1)+u the prefix at 2u+1 - because materializing the
+    symbol-row interleave requires a transient with tiny minor dims
+    ((nsb, 2, 6, 512) at 4 Gsym) that XLA:TPU tile-pads ~20x: a 14.9 GB
+    HLO temp.  Consumers index rows with blkb_row().
+
+    All wide arrays stay int32: the global prefix may WRAP past 2^31, but
+    the anchor-relative rows are < 2^24, so modular subtraction recovers
+    them exactly; only the (na+1, 6) anchor level accumulates in int64
+    (via cumsum_small: jnp.cumsum's int64 u32-pair reduce-window lowering
+    requests pathological scoped VMEM at these sizes)."""
     from .scan import cumsum_small
 
+    nprows = cap // (2 * LANE)  # packed rows
+    rpc = ACHUNK // (2 * LANE)  # packed rows per anchor chunk
+    S = (lo6 + hi6).astype(I32)
+    incl = cumsum_blocked(S)  # per-pair inclusive prefix, mod 2^32
+    PS = jnp.concatenate([jnp.zeros((1, NSYM), I32), incl])  # (N+1, 6)
+    na = (cap + ACHUNK - 1) // ACHUNK
+    bnd = jnp.minimum(jnp.arange(na + 1, dtype=I32) * rpc, nprows)
+    bnd32 = PS[bnd]  # (na+1, 6) chunk-boundary prefixes (mod 2^32)
     tots = (bnd32[1:] - bnd32[:-1]).astype(I64)
-    # cumsum_small: jnp.cumsum's int64 (u32-pair) reduce-window lowering
-    # requests pathological scoped VMEM at 4 Gsym capacities (HTTP 500,
-    # "should not be possible to run out of scoped vmem")
     anchors = jnp.concatenate(
         [jnp.zeros((1, NSYM), I64), cumsum_small(tots, axis=0)]
     )
-    arow = jnp.minimum(
-        jnp.arange(nrows + 1, dtype=I32) // rpc, na
+    arow = jnp.minimum(jnp.arange(nprows + 1, dtype=I32) // rpc, na)
+    rel_lo = PS - bnd32[arow]  # modular; true value < 2^24
+    rel_hi = rel_lo + jnp.concatenate(
+        [lo6.astype(I32), jnp.zeros((1, NSYM), I32)]
     )
-    rel = full32 - bnd32[arow]  # modular; true value < 2^24
-    return anchors, rel
+    blkB = jnp.concatenate([rel_lo, rel_hi])  # (2N+2, 6)
+    return anchors, blkB
 
 
 def rank_global_packed(pbwt, blkA, blkB, pos, K=LANE):
@@ -229,7 +248,10 @@ def rank_global_packed(pbwt, blkA, blkB, pos, K=LANE):
     assert K == LANE
     blk = (pos // LANE).astype(I32)  # symbol row
     within = (pos % LANE).astype(I32)
-    base = blkA[(pos // ACHUNK).astype(I32)] + blkB[blk].astype(I64)
+    nprows = blkB.shape[0] // 2 - 1  # plane-separated layout (blkb_row)
+    base = blkA[(pos // ACHUNK).astype(I32)] + blkB[
+        blkb_row(blk, nprows)
+    ].astype(I64)
     prow = blk >> 1
     nrp = pbwt.shape[0] // LANE
     rows = pbwt.reshape(-1, LANE)[jnp.clip(prow, 0, nrp - 1)]  # (Q, 128)

@@ -77,11 +77,13 @@ def test_two_level_anchor_boundaries(rng):
     syms = rng.integers(0, 6, cap).astype(np.int8)
     pb = jnp.asarray(pack_bwt_np(syms))
     blkA, blkB = build_two_level_tables(pb, cap)
+    from ropebwt2_tpu.index.packed import blkb_row
+
     want = np.asarray(build_block_tables(jnp.asarray(syms), 128,
                                          dtype=jnp.int64))
-    got = np.asarray(blkA)[
-        (np.arange(cap // 128 + 1) * 128) >> 24
-    ] + np.asarray(blkB)
+    blks = np.arange(cap // 128 + 1)
+    rows = np.asarray(blkb_row(blks, cap // 256))
+    got = np.asarray(blkA)[(blks * 128) >> 24] + np.asarray(blkB)[rows]
     assert np.array_equal(got, want)
 
 
@@ -122,11 +124,15 @@ def test_merge_pallas_packed_interpret(rng):
         lim = n + A
         assert np.array_equal(got[:lim], want[:lim]), trial
 
+        from ropebwt2_tpu.index.packed import blkb_row
+
         want_tab = np.asarray(build_block_tables(
             jnp.asarray(want[:CAP]), 128, dtype=jnp.int64
         ))
         limk = lim // 128
+        blks = np.arange(limk + 1)
+        rows = np.asarray(blkb_row(blks, CAP // 256))
         got_tab = np.asarray(blkA)[
-            (np.arange(limk + 1) * 128) >> 24
-        ] + np.asarray(blkB)[: limk + 1]
+            (blks * 128) >> 24
+        ] + np.asarray(blkB)[rows]
         assert np.array_equal(got_tab, want_tab[: limk + 1]), trial
