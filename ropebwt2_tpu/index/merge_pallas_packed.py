@@ -386,12 +386,20 @@ def merge_pallas_packed(pbwt, pos, sym, stream, valid, n=None, *, K=LANE,
         jnp.where(valid, val, 0), mode="drop"
     )
 
-    # per-block insertion-count prefix from the packed map
-    ip = insmap.reshape(nb, bsz // 2)
-    blk_cnts = (
-        jnp.sum((ip & 0xF) != 0, axis=1, dtype=I32)
-        + jnp.sum((ip >> 4) != 0, axis=1, dtype=I32)
-    )
+    # per-block insertion-count prefix.  At small caps: count marks in the
+    # packed map.  At large caps: an M-sized histogram scatter instead —
+    # XLA materializes the bool->int32 reduction operand as a FULL s32
+    # copy of the map (2 x 7.5 GB HLO temps at 4 Gsym).
+    if cap // 2 > (1 << 28):
+        blk_cnts = jnp.zeros((nb,), I32).at[
+            jnp.where(valid, dest // bsz, nb).astype(I32)
+        ].add(1, mode="drop")
+    else:
+        ip = insmap.reshape(nb, bsz // 2)
+        blk_cnts = (
+            jnp.sum((ip & 0xF) != 0, axis=1, dtype=I32)
+            + jnp.sum((ip >> 4) != 0, axis=1, dtype=I32)
+        )
     start_ins = jnp.concatenate(
         [jnp.zeros(1, I32), cumsum_blocked(blk_cnts)]
     )
