@@ -208,9 +208,11 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
 
     # ---- next symbol of each read (reads are stored reversed) ----
     # buffer offsets are 8-aligned; the 0 terminator after each read makes
-    # the sentinel round implicit (and inert rows mask to 0 anyway)
+    # the sentinel round implicit (and inert rows mask to 0 anyway).
+    # comm.fetch_syms: direct gather single-device; a routed exchange when
+    # the read buffer is sharded by byte range (no full replication)
     off = (pk >> 3) * 8
-    sym = buf[jnp.clip(off + d, 0, buf.shape[0] - 1)].astype(I32)
+    sym = comm.fetch_syms(buf, off + d)
     sym = jnp.where(active, sym, 0)
     ohp = (sym[:, None] == ar6[None, :])  # (M,6) one-hot of sym
 

@@ -33,6 +33,10 @@ class LocalComm:
     def iota(self, m):
         return jnp.arange(m, dtype=I32)
 
+    def fetch_syms(self, buf, off):
+        """Next-symbol fetch: buf[off] with clipping (single buffer)."""
+        return buf[jnp.clip(off, 0, buf.shape[0] - 1)].astype(I32)
+
     def cumsum(self, x):
         return cumsum_blocked(x)
 
@@ -183,6 +187,29 @@ class ShardComm:
         # the LAST shard's last row takes the fill value
         nxt = jnp.where(self.s == self.d - 1, jnp.asarray(fill, I32), nxt)
         return jnp.concatenate([x32[1:], nxt]) != 0
+
+    # ---- routed next-symbol fetch (sharded read buffer) ----
+
+    def fetch_syms(self, buf, off):
+        """buf is the LOCAL block of the read buffer (sharded by byte
+        range); each row's next symbol is fetched from the shard owning
+        its offset via a slot-capped exchange.  Reads keep their global
+        byte offsets, so routing is a fixed division; offsets of a random
+        batch spread near-uniformly over the buffer shards."""
+        lbuf = buf.shape[0]
+        q = off.shape[0]
+        tgt = jnp.clip(off // lbuf, 0, self.d - 1).astype(I32)
+        s_cap = None
+        if self.d > 1:
+            s_cap = min(q, -(-(4 * q // self.d) // 256) * 256)
+        rv, (roff,), route = self.exchange(
+            tgt, jnp.ones(q, bool), [off], slot_cap=s_cap
+        )
+        loc = jnp.clip(
+            roff - self.s.astype(off.dtype) * lbuf, 0, lbuf - 1
+        )
+        ans = buf[loc].astype(I32)
+        return self.reply(route, ans)
 
     # ---- padded all-to-all routing ----
 

@@ -464,7 +464,9 @@ def sharded_bcr_batch(state, reads, buf, n_rounds, *, K, so, lcap, mesh, d,
             defer_r=defer_r, pcap=pcap,
         ),
         mesh=mesh,
-        in_specs=(state_specs, read_specs, rep, rep),
+        # buf sharded by byte range (comm.fetch_syms routes the per-round
+        # next-symbol lookups to owners — no full replication)
+        in_specs=(state_specs, read_specs, shard, rep),
         out_specs=(state_specs, read_specs),
         check_vma=False,
     )
@@ -609,10 +611,13 @@ class ShardedTpuBwt:
         mpad = _round_up(max(_pad_pow2(m), self.d), self.d)
         if mpad > self._lcap:  # drift guard: one round inserts <= mpad
             self._plan(self._n + total + mpad * self.d)
-        # vectorized aligned packing (one scatter, no per-read Python loop)
+        # vectorized aligned packing (one scatter, no per-read Python loop);
+        # bufcap divisible by d*8: the buffer ships SHARDED by byte range
         strides = ((lens.astype(np.int64) + 8) & ~np.int64(7))
         starts = np.concatenate([[0], np.cumsum(strides)[:-1]])
-        bufcap = _pad_pow2(int(strides.sum()), lo=64)
+        bufcap = _round_up(
+            _pad_pow2(int(strides.sum()), lo=64), self.d * 8
+        )
         buf = np.zeros(bufcap, dtype=np.int8)
         if isinstance(reads, np.ndarray) and reads.ndim == 2:
             flat = reads.astype(np.int8, copy=False)
@@ -659,7 +664,7 @@ class ShardedTpuBwt:
             u=jax.device_put(jnp.asarray(u), sh),
             pk=jax.device_put(jnp.asarray(pk), sh),
         )
-        jbuf = jax.device_put(jnp.asarray(buf), rep)
+        jbuf = jax.device_put(jnp.asarray(buf), sh)  # sharded by byte range
         defer_r, pcap = self._choose_defer(mpad)
         self.state, _ = sharded_bcr_batch(
             self.state,
