@@ -119,6 +119,60 @@ def _slot_cap(q, d):
     return min(q, _round_up(4 * q // d, 256))
 
 
+def _use_sharded_pallas(lcap, m, K):
+    import os
+
+    import jax as _jax
+
+    from ..index import merge_pallas as mp
+
+    if os.environ.get("ROPEBWT2_TPU_PALLAS", "1") == "0":
+        return False
+    return (
+        _jax.default_backend() == "tpu"
+        and (lcap + m) % mp.SUPER_B == 0
+        and (lcap + m) // mp.LANE < (1 << 30)
+        and K % mp.LANE == 0
+        and m % K == 0
+    )
+
+
+def stitched_kernel_merge(bwt_loc, tail, ldest, rsym, rv, s_lo, lcap, K,
+                          interpret=False):
+    """Apply a shard's received insertions + the cross-shard drift with the
+    UNCHANGED Pallas merge kernel: run it on the stitched (tail + window)
+    buffer and express the drift as ``s_lo`` phantom insertion marks in
+    the head (tail) region — the kernel's insertion-count prefix then
+    shifts every window position by exactly s_lo + local marks, which IS
+    the drift equation out[t] = stitched[m + t - s_lo - c(t)].  Phantom
+    marks write garbage symbols into head positions that the caller
+    slices away.  Position arithmetic is int32 (per-shard sizes).
+
+    Returns (new_loc int8[lcap], stitched_prefix int32[..,6]) — the
+    caller rebases table rows by subtracting row m//K."""
+    from ..index.flat import PAD, PAD_TAIL
+    from ..index.merge_pallas import merge_pallas
+
+    m = tail.shape[0]
+    stitched = jnp.concatenate(
+        [tail, bwt_loc, jnp.full((PAD_TAIL,), PAD, jnp.int8)]
+    )
+    iota_m = jnp.arange(m, dtype=I32)
+    head_valid = iota_m < s_lo
+    pos = jnp.concatenate([
+        jnp.where(head_valid, iota_m, 0),
+        jnp.where(rv, jnp.clip(ldest, 0, lcap - 1).astype(I32) + m, 0),
+    ])
+    sym_all = jnp.concatenate([jnp.zeros(m, I32), rsym.astype(I32)])
+    stream = jnp.zeros(pos.shape[0], I32)
+    valid = jnp.concatenate([head_valid, rv])
+    new_st, blkp_st = merge_pallas(
+        stitched, pos, sym_all, stream, valid, n=None, K=K,
+        interpret=interpret,
+    )
+    return new_st[m : m + lcap], blkp_st
+
+
 def _local_merge(comm, bwt_loc, gX, sym, stream, active, lcap, K):
     """Route this shard's planned insertions to their destination shards,
     then apply the received ones to this shard's window.  Returns the new
@@ -152,12 +206,6 @@ def _local_merge(comm, bwt_loc, gX, sym, stream, active, lcap, K):
     )
 
     ldest = jnp.where(rv, rdest - lo, lcap)
-    insmap = jnp.zeros((lcap,), jnp.int8)
-    insmap = insmap.at[ldest].set(
-        (rsym + 1).astype(jnp.int8), mode="drop", unique_indices=True
-    )
-    marks = (insmap != 0).astype(I32)
-    c_local = cumsum_blocked(marks)  # inclusive
 
     # left neighbor's tail covers the rightward drift (<= M per round)
     m = gX.shape[0] * comm.d  # global batch rows
@@ -165,22 +213,42 @@ def _local_merge(comm, bwt_loc, gX, sym, stream, active, lcap, K):
     tail = jax.lax.ppermute(
         tail, comm.axis, [(i, i + 1) for i in range(comm.d - 1)]
     )
-    stitched = jnp.concatenate([tail, bwt_loc])  # (m + lcap,)
 
-    t_idx = jnp.arange(lcap, dtype=I32)
-    src = m + t_idx - s_lo - c_local
-    gathered = stitched[jnp.clip(src, 0, lcap + m - 1)]
-    new_loc = jnp.where(insmap != 0, insmap - 1, gathered)
+    tdt = table_dtype(lcap * comm.d)
+    if _use_sharded_pallas(lcap, m, K):
+        # per-shard Pallas merge: the drift rides as phantom head marks
+        # (stitched_kernel_merge); rebase the stitched table rows to the
+        # window and drop the fused rebuild
+        new_loc, blkp_st = stitched_kernel_merge(
+            bwt_loc, tail, ldest, rsym, rv, s_lo, lcap, K
+        )
+        mrow = m // K
+        local_pref = (
+            blkp_st[mrow : mrow + lcap // K + 1]
+            - blkp_st[mrow : mrow + 1]
+        ).astype(tdt)
+    else:
+        insmap = jnp.zeros((lcap,), jnp.int8)
+        insmap = insmap.at[ldest].set(
+            (rsym + 1).astype(jnp.int8), mode="drop", unique_indices=True
+        )
+        marks = (insmap != 0).astype(I32)
+        c_local = cumsum_blocked(marks)  # inclusive
+
+        stitched = jnp.concatenate([tail, bwt_loc])  # (m + lcap,)
+        t_idx = jnp.arange(lcap, dtype=I32)
+        src = m + t_idx - s_lo - c_local
+        gathered = stitched[jnp.clip(src, 0, lcap + m - 1)]
+        new_loc = jnp.where(insmap != 0, insmap - 1, gathered)
+        local_pref = build_block_tables(new_loc, K, dtype=tdt)
 
     # new local tables with global bases
-    tdt = table_dtype(lcap * comm.d)
-    local_pref = build_block_tables(new_loc, K, dtype=tdt)
-    totals = local_pref[-1]  # (6,)
+    totals = local_pref[lcap // K]  # counts over the full window
     all_tot = jax.lax.all_gather(totals, comm.axis)  # (D, 6)
     base = jnp.concatenate(
         [jnp.zeros((1, NSYM), tdt), jnp.cumsum(all_tot, axis=0)[:-1]]
     )[s_idx]
-    return new_loc, local_pref + base[None, :]
+    return new_loc, local_pref[: lcap // K + 1] + base[None, :]
 
 
 # ---------------------------------------------------------------------------

@@ -291,3 +291,59 @@ def test_sharded_deferred_2d_mesh(rng):
                         defer_r=4)
     eng.insert_multi(reads)
     assert np.array_equal(eng.bwt_array(), single.bwt_array())
+
+
+def test_stitched_kernel_merge_interpret(rng):
+    """The per-shard Pallas merge (drift as phantom head marks over the
+    stitched buffer) must match the jnp drift formulation exactly,
+    including the rebased rank tables."""
+    import jax.numpy as jnp
+    from ropebwt2_tpu.index.rank import build_block_tables
+    from ropebwt2_tpu.index.scan import cumsum_blocked
+    from ropebwt2_tpu.parallel.sharded import stitched_kernel_merge
+
+    lcap, m, K = 131072 - 32768, 32768, 256
+    for s_lo_v in (0, 5, 700):
+        bwt_loc = rng.integers(0, 6, lcap).astype(np.int8)
+        tail = rng.integers(0, 6, m).astype(np.int8)
+        A = 90
+        ldest = np.full(m, lcap, np.int64)
+        ldest[:A] = np.sort(rng.integers(0, lcap - m, A))
+        rsym = np.zeros(m, np.int32)
+        rsym[:A] = rng.integers(0, 6, A)
+        rv = np.zeros(m, bool)
+        rv[:A] = True
+
+        # jnp reference: out[t] = insmap or stitched[m + t - s_lo - c(t)]
+        insmap = np.zeros(lcap + 1, np.int8)
+        insmap[ldest[:A]] = rsym[:A] + 1
+        insmap = insmap[:lcap]
+        c = np.cumsum(insmap != 0)
+        stitched = np.concatenate([tail, bwt_loc])
+        src = m + np.arange(lcap) - s_lo_v - c
+        want = np.where(
+            insmap != 0, insmap - 1,
+            stitched[np.clip(src, 0, lcap + m - 1)],
+        ).astype(np.int8)
+
+        got, blkp_st = stitched_kernel_merge(
+            jnp.asarray(bwt_loc), jnp.asarray(tail),
+            jnp.asarray(ldest), jnp.asarray(rsym), jnp.asarray(rv),
+            jnp.asarray(s_lo_v, np.int32), lcap, K, interpret=True,
+        )
+        lim = lcap - m  # positions past the window end read clamped
+        # source indices in [0, m + lcap); valid comparisons where src>=0
+        ok = src[:lim] >= 0
+        got_np = np.asarray(got)[:lim]
+        assert np.array_equal(got_np[ok], want[:lim][ok]), s_lo_v
+        # rebased tables over the exact region
+        mrow = m // K
+        reb = np.asarray(blkp_st)[mrow : mrow + lim // K + 1] - np.asarray(
+            blkp_st
+        )[mrow : mrow + 1]
+        wtab = np.asarray(
+            build_block_tables(jnp.asarray(want), K, dtype=jnp.int32)
+        )
+        if bool(ok.all()):
+            assert np.array_equal(reb[: lim // K + 1],
+                                  wtab[: lim // K + 1]), s_lo_v
