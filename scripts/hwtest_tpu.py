@@ -118,6 +118,22 @@ def main():
     cpu_bwt = np.frombuffer(cpu.stdout, dtype=np.int8)
     assert np.array_equal(tpu_bwt, cpu_bwt), "engine TPU != CPU"
     print(f"HWTEST engine parity OK ({len(cpu_bwt)} symbols)", flush=True)
+
+    # --- PACKED engine batch on the chip (packed Pallas kernel + tables)
+    # vs the same CPU reference: catches hardware-vs-interpret semantic
+    # divergences (e.g. Mosaic's bf16 MXU dot rounding, round 4) ---
+    os.environ["ROPEBWT2_TPU_PACK4"] = "1"
+    os.environ["ROPEBWT2_TPU_DEFER_R"] = "8"
+    try:
+        engp = TpuBwt(so=so)
+        engp._plan(3 * M * (L + 1))
+        engp.insert_multi(reads)
+        packed_bwt = engp.bwt_array()
+    finally:
+        os.environ.pop("ROPEBWT2_TPU_PACK4", None)
+        os.environ.pop("ROPEBWT2_TPU_DEFER_R", None)
+    assert np.array_equal(packed_bwt, cpu_bwt), "packed engine TPU != CPU"
+    print("HWTEST packed engine parity OK", flush=True)
     print("HWTEST OK", flush=True)
 
 
