@@ -483,7 +483,7 @@ def _flush_pending(st, pend, *, K):
 
 
 def bcr_batch_deferred_impl(state, reads, buf, n_rounds, *, K, so, defer_r,
-                            pcap):
+                            pcap, d_lo=None):
     """Run all rounds of one batch with multi-round insertion buffering:
     the base buffer is frozen for ``defer_r`` rounds while insertions
     accumulate in a sorted pending side index (index/pending.py); rank
@@ -492,8 +492,14 @@ def bcr_batch_deferred_impl(state, reads, buf, n_rounds, *, K, so, defer_r,
     traffic by defer_r — the flat-layout answer to the reference rope's
     O(log n)/symbol insertion economics (/root/reference/rope.c:114-148).
 
-    ``pcap`` must be >= defer_r * (max insertions per round)."""
+    ``pcap`` must be >= defer_r * (max insertions per round).  ``d_lo``
+    (round-range chunking) must be a multiple of defer_r — chunk
+    boundaries then coincide with flushes and the pending set starts each
+    chunk empty."""
     nr = n_rounds.astype(I32)
+    s_lo = (
+        jnp.zeros((), I32) if d_lo is None else d_lo.astype(I32) // defer_r
+    )
     pend0 = empty_pending(pcap, reads.l.dtype)
 
     def outer(sidx, carry):
@@ -527,21 +533,23 @@ def bcr_batch_deferred_impl(state, reads, buf, n_rounds, *, K, so, defer_r,
 
     n_super = (nr + defer_r - 1) // defer_r
     st, rd, _ = jax.lax.fori_loop(
-        0, n_super, outer, (state, reads, pend0)
+        s_lo, n_super, outer, (state, reads, pend0)
     )
     return st, rd
 
 
-def bcr_batch_impl(state, reads, buf, n_rounds, *, K, so, defer_r=0,
-                   pcap=0):
-    """Run all rounds of one batch inside a single compiled call — one
-    device dispatch per batch instead of one per symbol column.  With
-    defer_r > 0, route through the deferred-merge loop (see
-    bcr_batch_deferred_impl)."""
+def bcr_batch_range_impl(state, reads, buf, d_lo, d_hi, *, K, so,
+                         defer_r=0, pcap=0):
+    """Run rounds [d_lo, d_hi) of a batch in one compiled call.  Kilobase+
+    reads mean tens of thousands of rounds; a single 200 s+ dispatch
+    crashes the tunneled TPU worker, so the driver splits long batches
+    into round ranges (state + read state stay on device between
+    dispatches; d_lo must be a multiple of defer_r so chunk boundaries
+    coincide with pending flushes)."""
     if defer_r > 0:
         return bcr_batch_deferred_impl(
-            state, reads, buf, n_rounds, K=K, so=so, defer_r=defer_r,
-            pcap=pcap,
+            state, reads, buf, d_hi, K=K, so=so, defer_r=defer_r,
+            pcap=pcap, d_lo=d_lo,
         )
 
     def body(d, carry):
@@ -551,13 +559,30 @@ def bcr_batch_impl(state, reads, buf, n_rounds, *, K, so, defer_r=0,
         )
         return st, rd
 
-    return jax.lax.fori_loop(0, n_rounds, body, (state, reads))
+    return jax.lax.fori_loop(d_lo, d_hi, body, (state, reads))
+
+
+def bcr_batch_impl(state, reads, buf, n_rounds, *, K, so, defer_r=0,
+                   pcap=0):
+    """Run all rounds of one batch inside a single compiled call — one
+    device dispatch per batch instead of one per symbol column.  With
+    defer_r > 0, route through the deferred-merge loop (see
+    bcr_batch_deferred_impl)."""
+    return bcr_batch_range_impl(
+        state, reads, buf, jnp.zeros((), I64), n_rounds, K=K, so=so,
+        defer_r=defer_r, pcap=pcap,
+    )
 
 
 bcr_batch = functools.partial(
     jax.jit, static_argnames=("K", "so", "defer_r", "pcap"),
     donate_argnums=(0, 1),
 )(bcr_batch_impl)
+
+bcr_batch_range = functools.partial(
+    jax.jit, static_argnames=("K", "so", "defer_r", "pcap"),
+    donate_argnums=(0, 1),
+)(bcr_batch_range_impl)
 
 
 def bcr_batch_packed_impl(state, meta, pbuf, *, K, so, mpad, defer_r=0,
@@ -711,7 +736,12 @@ class TpuBwt:
             # n = 0.9 Gsym (scripts/probe_scale_sweep.py)
             ratio = 0.055 * self.state.cap / max(mpad, 1)
             r = int(math.sqrt(ratio)) if ratio >= 1 else 0
-            if r > 0:
+            if r < 4:
+                # shallow deferral loses: the pending machinery's fixed
+                # per-round cost isn't amortized, and it drags the
+                # batch-regime bench from ~17 to ~11.7 Msym/s at R=2
+                r = 0
+            else:
                 r = 1 << min(6, (r - 1).bit_length())  # pow2 >= r, <= 64
         if r <= 1:
             return 0, 0
@@ -922,7 +952,33 @@ class TpuBwt:
             u[npad:] = l[npad:]
         else:
             u[npad:] = n_sent
-        if (
+        # round-range chunking for kilobase+ reads: a single fori dispatch
+        # over tens of thousands of rounds runs for minutes and crashes
+        # the tunneled TPU worker; split into ~CHUNK-round dispatches
+        # (state + read state stay resident between them)
+        rounds = max_len + 1
+        chunk = int(os.environ.get("ROPEBWT2_TPU_ROUND_CHUNK", "2048"))
+        defer_r, pcap = self._choose_defer(mpad)
+        if defer_r > 0 and chunk > 0:
+            chunk = max(chunk // defer_r, 1) * defer_r
+        use_chunked = chunk > 0 and rounds > 2 * chunk
+        if use_chunked:
+            rs = ReadStates(
+                l=jnp.asarray(l), u=jnp.asarray(u), pk=jnp.asarray(pk)
+            )
+            jbuf = jnp.asarray(buf)
+            st = self.state
+            d = 0
+            while d < rounds:
+                hi = min(d + chunk, rounds)
+                st, rs = bcr_batch_range(
+                    st, rs, jbuf,
+                    jnp.asarray(d, I64), jnp.asarray(hi, I64),
+                    K=self.K, so=self.so, defer_r=defer_r, pcap=pcap,
+                )
+                d = hi
+            state = st
+        elif (
             pdt == np.int32
             and pkdt == np.int32
             and os.environ.get("ROPEBWT2_TPU_PACKED", "1") != "0"

@@ -584,7 +584,9 @@ class ShardedTpuBwt:
 
             ratio = 0.055 * self._lcap * self.d / max(mpad, 1)
             r = int(math.sqrt(ratio)) if ratio >= 1 else 0
-            if r > 0:
+            if r < 4:  # shallow deferral loses (see TpuBwt._choose_defer)
+                r = 0
+            else:
                 r = 1 << min(6, (r - 1).bit_length())
         while r > 1:
             pcap = pending_cap(mpad, r)

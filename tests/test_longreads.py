@@ -99,3 +99,24 @@ def test_multi_kbp_reads_parity(rng, ref_binary):
     lut = np.frombuffer(b"$ACGTN", np.uint8)
     got = lut[eng.bwt_array()].tobytes() + b"\n"
     assert got == want
+
+
+def test_round_chunked_dispatch_parity(rng, monkeypatch):
+    """Round-range chunking (long-read dispatch splitting) must be
+    byte-identical to the single-dispatch path, with and without
+    deferral, including chunk boundaries that don't divide the round
+    count."""
+    import numpy as np
+    from ropebwt2_tpu.engine import TpuBwt
+
+    reads = [rng.integers(1, 5, size=int(ln)).astype(np.int8)
+             for ln in rng.integers(150, 300, size=24)]
+    monkeypatch.setenv("ROPEBWT2_TPU_ROUND_CHUNK", "0")
+    ref = TpuBwt(so=1, defer_r=0)
+    ref.insert_multi(reads)
+    monkeypatch.setenv("ROPEBWT2_TPU_ROUND_CHUNK", "64")
+    for dr in (0, 8):
+        eng = TpuBwt(so=1, defer_r=dr)
+        eng.insert_multi(reads)
+        assert np.array_equal(eng.bwt_array(), ref.bwt_array()), dr
+        assert np.array_equal(eng.counts(), ref.counts()), dr
