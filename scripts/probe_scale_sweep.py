@@ -104,7 +104,8 @@ def main():
           f"prefill {n0/1e9:.2f} Gsym (fabricated)", flush=True)
 
     t0 = time.time()
-    state0 = fabricate_state(cap, n0, n_sent, K=128)
+    K = int(os.environ.get("SWEEP_K", 128))
+    state0 = fabricate_state(cap, n0, n_sent, K=K)
     jax.block_until_ready(state0.blk_prefix)
     _ = np.asarray(state0.psize)  # true sync (tunnel backend)
     print(f"[sweep] fabricate {time.time()-t0:.1f}s", flush=True)
@@ -114,7 +115,7 @@ def main():
     for tok in cfgs.split(","):
         lm, r = tok.split(":")
         M, R = 1 << int(lm), int(r)
-        eng = TpuBwt(so=1, defer_r=R)
+        eng = TpuBwt(so=1, K=K, defer_r=R)
         eng.state = jax.tree.map(jnp.copy, state0)
         jax.block_until_ready(eng.state.bwt)
         eng._n = n0
