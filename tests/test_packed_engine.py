@@ -90,3 +90,29 @@ def test_packed_queries(rng, force_packed):
     lo2, hi2 = backward_search(ref.state, jnp.asarray(pat),
                                jnp.asarray([8], np.int32))
     assert int(hi1[0] - lo1[0]) == int(hi2[0] - lo2[0]) >= 1
+
+
+def test_packed_export_formats(rng, force_packed, tmp_path, ref_binary):
+    """Exports (text/FMR) from a packed-mode index must be byte-identical
+    to the reference binary's output on the same reads."""
+    import os
+    import subprocess
+    import sys
+
+    from conftest import random_reads, reads_to_lines, run_ref
+
+    reads = random_reads(rng, n=40, lo=5, hi=25)
+    data = reads_to_lines(reads)
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               ROPEBWT2_TPU_PACK4="1")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for flags in (["-LRs"], ["-LRsb"]):
+        r = subprocess.run(
+            [sys.executable, "-m", "ropebwt2_tpu.cli"] + flags + ["-"],
+            input=data, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd=repo, env=env,
+        )
+        assert r.returncode == 0, r.stderr.decode()
+        want = run_ref(ref_binary, flags + ["-"], data)
+        assert r.stdout == want, flags
