@@ -65,15 +65,21 @@ def _use_pallas_merge(cap: int, K: int) -> bool:
     )
 
 
-def _state_rank_fn(state, K, pdt):
-    """rank_fn(gpos) -> (M, 6) in the plan's position dtype, for either
-    state representation (int8 flat or 4-bit packed)."""
+def _gdt_of(state, pdt):
+    """dtype for GLOBAL positions/counts: int64 once the capacity leaves
+    int32, regardless of the (partition-local) interval dtype pdt."""
+    return I64 if state.cap >= (1 << 31) else pdt
+
+
+def _state_rank_fn(state, K, gdt):
+    """rank_fn(gpos) -> (M, 6) in the GLOBAL dtype, for either state
+    representation (int8 flat or 4-bit packed)."""
     from ..index.packed import PackedFlatBwt, rank_global_packed
 
     if isinstance(state, PackedFlatBwt):
         return lambda g: rank_global_packed(
             state.pbwt, state.blkA, state.blkB, g
-        ).astype(pdt)
+        ).astype(gdt)
     return lambda g: rank_global(state.bwt, state.blk_prefix, g, K)
 
 
@@ -149,7 +155,7 @@ def _insertion_order(so):
 
 
 def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
-               rank_fn, *, so, comm=None):
+               rank_fn, *, so, comm=None, gdt=None):
     """Steps 1-4 + interval updates of one BCR round, independent of how the
     flat buffer is stored: ``rank_fn(gpos) -> (M, 6)`` supplies GLOBAL
     6-symbol ranks (single-device table lookup, or routed shard lookups).
@@ -172,6 +178,14 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     M = reads.l.shape[0]  # local rows
     Mg = M * getattr(comm, "d", 1)  # global rows (exactness thresholds)
     pdt = reads.l.dtype
+    # gdt = dtype of GLOBAL positions/counts (rank query points, gX, the
+    # partition-offset/prefix tables).  Stored intervals l/u are
+    # PARTITION-LOCAL (< max partition size), so above 2^31 total symbols
+    # the driver keeps l/u int32 (pdt) while only the few global
+    # touchpoints run int64 (gdt) — int64 vector math is ~10x slower, and
+    # an all-int64 plan costs 3.5x per round at 4 Gsym.
+    if gdt is None:
+        gdt = pdt
     em = jnp.asarray(_insertion_order(so), dtype=I32)
     arange_m = comm.iota(M)  # GLOBAL row index of each local row
     ar6 = jnp.arange(NSYM, dtype=I32)
@@ -255,15 +269,15 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     # ---- 3. batched rank2a at the group interval ends ----
     poff = jnp.concatenate(
         [jnp.zeros(1, I64), cumsum_small(psize)[:-1]]
-    ).astype(pdt)  # partition offsets
+    ).astype(gdt)  # partition offsets (GLOBAL values)
     pprefix = jnp.concatenate(
         [
             jnp.zeros((1, NSYM), I64),
             cumsum_small(pcounts, axis=0)[:-1],
         ]
-    ).astype(pdt)  # pprefix[b, s] = count of s in partitions < b
+    ).astype(gdt)  # pprefix[b, s] = count of s in partitions < b
     ohc = c[:, None] == ar6[None, :]
-    if pdt == I32:
+    if gdt == I32:
         # 6-row table lookups as two exact f32 MXU contractions (values
         # < 2^31 split 12 low / 19 high bits; one-hot selection keeps each
         # product exact) — cheaper than six (M,6)-wide select passes
@@ -290,19 +304,19 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     else:
 
         def sel_rows(table):  # select-pass path: exact at any size/dtype
-            out = jnp.zeros((M, table.shape[1]), pdt)
+            out = jnp.zeros((M, table.shape[1]), gdt)
             for b in range(NSYM):
                 out = jnp.where((c == b)[:, None], table[b][None, :], out)
             return out
 
-        poc = jnp.sum(jnp.where(ohc, poff[None, :], 0), axis=1, dtype=pdt)
+        poc = jnp.sum(jnp.where(ohc, poff[None, :], 0), axis=1, dtype=gdt)
         pprefix_c = sel_rows(pprefix)
-    gLq = poc + L
+    gLq = poc + L  # promotes to gdt
     if so == SO_IO:
         # input order keeps every interval empty (l == u by induction:
         # mr_insert1's l==u path and singleton groups) — skip the second
         # rank query, delta is identically zero
-        TL = rank_fn(gLq) - pprefix_c
+        TL = (rank_fn(gLq) - pprefix_c).astype(pdt)
         delta = jnp.zeros_like(TL)
     else:
         # Interval widths start at the PREVIOUS string count and shrink
@@ -319,12 +333,14 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
         # alias to "empty" through an int32 cast
         wmax = comm.max_scalar(jnp.where(active, (U != L).astype(I32), 0))
         gUq = poc + U
+        # delta (interval symbol counts) and TL (partition-relative ranks)
+        # are < the partition size: back to pdt right after the global ops
         delta = jax.lax.cond(
             wmax == 0,
             lambda: jnp.zeros_like(TLr),
             lambda: rank_fn(gUq) - TLr,
-        )
-        TL = TLr - pprefix_c
+        ).astype(pdt)
+        TL = (TLr - pprefix_c).astype(pdt)
 
     # ---- 4. insertion points per symbol, start-of-round local coords ----
     # X[:, s] = L + sum of delta over symbols emitted before s.
@@ -420,7 +436,7 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
             jnp.zeros((1, NSYM), I64),
             cumsum_small(pcounts + ins_bucket, axis=0)[:-1],
         ]
-    ).astype(pdt)  # (6,6): counts of s in partitions < b after this round
+    ).astype(gdt)  # (6,6): counts of s in partitions < b after this round
 
     # ---- global tie rank (stream index) of each read's insertion ----
     rank_in_run = take_sym(excl - head_excl)
@@ -432,11 +448,14 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
     )
 
     # ---- interval update (+ fused cross-bucket rebase) ----
+    # the updated interval is PARTITION-LOCAL (< the new partition's
+    # size), so active rows' values fit pdt even when the rebase table
+    # holds larger (gdt) counts; inactive rows keep their old value
     ac_c = sel_rows(ac_excl)
-    l_new = take_sym(TL) + P_sym + take_sym(ac_c)
-    u_new = l_new + take_sym(delta)
-    l = jnp.where(active, l_new, l)
-    u = jnp.where(active, u_new, u)
+    l_new = take_sym(TL).astype(gdt) + P_sym.astype(gdt) + take_sym(ac_c)
+    u_new = l_new + take_sym(delta).astype(gdt)
+    l = jnp.where(active, l_new.astype(pdt), l)
+    u = jnp.where(active, u_new.astype(pdt), u)
     # fold the inserted symbol into the packed word (pk & -8 keeps off<<3)
     pk = jnp.where(active, (pk & ~jnp.asarray(7, pk.dtype)) | sym.astype(pk.dtype), pk)
 
@@ -449,10 +468,11 @@ def bcr_round_impl(state, reads: ReadStates, buf, d, is_first, *, K, so):
     """One BCR round: insert the d-th (from read end) symbol of every active
     read. Returns (new_state, new_reads, n_inserted).  ``state`` is either
     a FlatBwt or a PackedFlatBwt (capacity mode)."""
-    rank_fn = _state_rank_fn(state, K, reads.l.dtype)
+    gdt = _gdt_of(state, reads.l.dtype)
+    rank_fn = _state_rank_fn(state, K, gdt)
     new_reads, gX, sym, stream, active, ins_bucket, n_ins = plan_round(
         state.psize, state.pcounts, reads, buf, d, is_first, rank_fn,
-        so=so,
+        so=so, gdt=gdt,
     )
     # ---- merge (+ fused rank-table rebuild on the Pallas path) ----
     merged = _state_merge(state, gX, sym, stream, active, state.n, K)
@@ -500,12 +520,13 @@ def bcr_batch_deferred_impl(state, reads, buf, n_rounds, *, K, so, defer_r,
     s_lo = (
         jnp.zeros((), I32) if d_lo is None else d_lo.astype(I32) // defer_r
     )
-    pend0 = empty_pending(pcap, reads.l.dtype)
+    gdt = _gdt_of(state, reads.l.dtype)
+    pend0 = empty_pending(pcap, gdt)  # vp holds GLOBAL virtual positions
 
     def outer(sidx, carry):
         st, rd, pend = carry
         # base buffer + tables frozen through the inner loop
-        base_fn = _state_rank_fn(st, K, reads.l.dtype)
+        base_fn = _state_rank_fn(st, K, gdt)
         lo = sidx * defer_r
 
         def inner(d, c):
@@ -513,7 +534,7 @@ def bcr_batch_deferred_impl(state, reads, buf, n_rounds, *, K, so, defer_r,
             rank_fn = lambda g: rank_virtual_base(base_fn, pend, g)  # noqa: E731
             new_rd, gX, sym, stream, active, ins_bucket, n_ins = plan_round(
                 psize, pcounts, rd, buf, d.astype(I32), d == 0, rank_fn,
-                so=so,
+                so=so, gdt=gdt,
             )
             pend = pending_add(pend, gX, sym, stream, active)
             return (
@@ -821,7 +842,7 @@ class TpuBwt:
         npad = mpad - m
         if (
             uniform
-            and self.state.cap < (1 << 31) - 1
+            and self._pos32_ok(total)
             # pk offsets are int32: the aligned buffer (mpad * stride, which
             # can exceed total symbols by 4-8x for short reads) must fit the
             # same 2^30 bound the ragged path's pkdt guard enforces
@@ -933,13 +954,25 @@ class TpuBwt:
         off[npad:] = astarts
         self._run_batch(buf, off, m, total, int(lens.max()))
 
+    def _pos32_ok(self, extra):
+        """True when partition-LOCAL interval values stay < 2^31 through
+        this batch (max current partition size + all new symbols): the
+        stored l/u are partition-relative, so they remain int32 far past
+        2^31 total symbols — only the global rank/merge touchpoints run
+        int64 (plan_round's gdt).  Costs one 48-byte psize pull per batch
+        above the int32 capacity bound."""
+        if self.state.cap < (1 << 31) - 1:
+            return True
+        psz = int(np.asarray(self.state.psize).max())
+        return psz + extra + (1 << 20) < (1 << 31)
+
     def _run_batch(self, buf, off, m, total, max_len):
         mpad = off.shape[0]
         npad = mpad - m
         n_sent = self._n_strings
-        # int64 vector arithmetic is ~10x slower on TPU: use int32 positions
-        # whenever the planned capacity (and the read buffer) fit
-        pdt = np.int32 if self.state.cap < (1 << 31) - 1 else np.int64
+        # int64 vector arithmetic is ~10x slower on TPU: intervals are
+        # partition-local, so int32 applies while every PARTITION fits
+        pdt = np.int32 if self._pos32_ok(total) else np.int64
         pkdt = np.int32 if buf.shape[0] <= (1 << 30) else np.int64
         # pk = (off // 8) << 3 | c, with c = 0 initially; pk < 0 marks the
         # padding rows (they point nowhere and never activate)
