@@ -72,10 +72,15 @@ def _gdt_of(state, pdt):
 
 
 def _state_rank_fn(state, K, gdt):
-    """rank_fn(gpos) -> (M, 6) in the GLOBAL dtype, for either state
-    representation (int8 flat or 4-bit packed)."""
+    """rank_fn(gpos) -> (M, 6) in the GLOBAL dtype, for any state
+    representation (int8 flat, 4-bit packed, or run-length)."""
     from ..index.packed import PackedFlatBwt, rank_global_packed
+    from ..index.runs import RunBwt, rank_global_runs
 
+    if isinstance(state, RunBwt):
+        return lambda g: rank_global_runs(
+            state.rend, state.rsym, state.bstart, state.bocc, g
+        ).astype(gdt)
     if isinstance(state, PackedFlatBwt):
         return lambda g: rank_global_packed(
             state.pbwt, state.blkA, state.blkB, g
@@ -91,7 +96,10 @@ def _state_merge(state, gX, sym, stream, active, n, K):
         apply_insertions_packed,
         build_two_level_tables,
     )
+    from ..index.runs import RunBwt, apply_insertions_runs
 
+    if isinstance(state, RunBwt):
+        return apply_insertions_runs(state, gX, sym, stream, active)
     if isinstance(state, PackedFlatBwt):
         if _use_pallas_merge(state.cap, K):
             from ..index.merge_pallas_packed import merge_pallas_packed
@@ -731,6 +739,11 @@ class TpuBwt:
         if defer_r is None:
             defer_r = int(os.environ.get("ROPEBWT2_TPU_DEFER_R", "-1"))
         self._defer_cfg = defer_r
+        # run-tier slot bound: every insertion adds at most 2 slots (one
+        # split item + one tail piece), so the driver can plan capacity
+        # without device syncs; tightened by an nslot pull when a growth
+        # decision is near (see _plan)
+        self._nslot_bound = 0
 
     def _choose_defer(self, mpad):
         """(defer_r, pcap) for the next batch.  Auto mode balances the two
@@ -754,8 +767,14 @@ class TpuBwt:
             # 0.055 = measured c_flush/c_pend on the v5e (flush ~29.8 ms at
             # cap 2^28 = 0.111 ns/sym; pending_add ~3.97 ms at pcap 2^21 =
             # 1.9 ns/row); confirmed by the round-4 on-chip (M, R) sweep at
-            # n = 0.9 Gsym (scripts/probe_scale_sweep.py)
-            ratio = 0.055 * self.state.cap / max(mpad, 1)
+            # n = 0.9 Gsym (scripts/probe_scale_sweep.py).  The run tier's
+            # flush walks rcap SLOTS of ~5 bytes (vs 1-byte symbols):
+            # substitute 5*rcap as the cap-equivalent cost input.
+            cap_eq = (
+                5 * self.state.rcap
+                if hasattr(self.state, "rcap") else self.state.cap
+            )
+            ratio = 0.055 * cap_eq / max(mpad, 1)
             r = int(math.sqrt(ratio)) if ratio >= 1 else 0
             if r < 4:
                 # shallow deferral loses: the pending machinery's fixed
@@ -783,15 +802,107 @@ class TpuBwt:
             return 1 << 31
         return int(v)
 
+    @staticmethod
+    def _runs_threshold():
+        """Symbols above which the index switches to the run-length
+        compressed tier (index/runs.py) — the O(runs) memory/merge mode
+        for coverage-shaped data.  Unset/'0' disables; '1' = from the
+        start; any integer = explicit threshold."""
+        v = os.environ.get("ROPEBWT2_TPU_RUNS", "0")
+        if v == "0":
+            return None
+        return int(v)
+
+    def _to_runs(self, total_bound: int):
+        """Convert the current state to the run tier (host round-trip:
+        conversion happens once, at a small n by construction — _plan
+        switches as soon as the PLANNED total crosses the threshold)."""
+        from ..index.runs import (
+            RCAP_ALIGN, RUN_LEN_MAX, runs_from_arrays,
+        )
+
+        bwt = self.bwt_array()
+        n = bwt.shape[0]
+        if n:
+            change = np.flatnonzero(np.diff(bwt)) + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [n]])
+            syms = bwt[starts]
+            lens = (ends - starts).astype(np.int64)
+            if (lens >= RUN_LEN_MAX).any():  # split over-long runs
+                half = RUN_LEN_MAX // 2
+                reps = -(-lens // half)
+                syms = np.repeat(syms, reps)
+                rem = np.repeat(lens - (reps - 1) * half, reps)
+                iwi = np.arange(len(syms)) - np.repeat(
+                    np.cumsum(reps) - reps, reps
+                )
+                lens = np.where(iwi == reps.repeat(reps) - 1, rem, half)
+        else:
+            syms = np.zeros(0, np.int8)
+            lens = np.zeros(0, np.int64)
+        self._nslot_bound = len(syms)
+        rcap = _round_up(
+            len(syms) + max(len(syms) // 4, RCAP_ALIGN), RCAP_ALIGN
+        )
+        self.state = runs_from_arrays(
+            syms, lens, rcap, total_bound, self._n,
+            np.asarray(self.state.psize), np.asarray(self.state.pcounts),
+        )
+
+    def _plan_runs(self, need: int, extra: int):
+        from ..index.runs import (
+            RCAP_ALIGN, RunBwt, gdt_for_symbols, grow_runs_state,
+        )
+
+        if not isinstance(self.state, RunBwt):
+            self._to_runs(need)
+            return
+        st = self.state
+        if jnp.dtype(gdt_for_symbols(need)).itemsize > st.bstart.dtype.itemsize:
+            # table dtype upgrade (planned total left int32): rebuild the
+            # block tables in int64 from the resident run arrays
+            from ..index.runs import _rebuild_tables
+            import dataclasses as _dc
+
+            idxr = jnp.arange(st.rcap, dtype=jnp.int32)
+            lens = st.rend - jnp.where(
+                idxr % 128 == 0, 0,
+                jnp.concatenate([jnp.zeros(1, I32), st.rend[:-1]]),
+            )
+            rend, bstart, bocc = _rebuild_tables(
+                lens, st.rsym, st.nslot, jnp.int64
+            )
+            st = _dc.replace(st, rend=rend, bstart=bstart, bocc=bocc)
+            self.state = st
+        slots_needed = self._nslot_bound + 2 * extra + 256
+        if slots_needed > st.rcap:
+            # tighten the bound with one scalar pull before growing
+            self._nslot_bound = int(st.nslot)
+            assert int(st.overflow) == 0, "run-tier envelope breached"
+            slots_needed = self._nslot_bound + 2 * extra + 256
+            if slots_needed > st.rcap:
+                new_rcap = _round_up(
+                    slots_needed + slots_needed // 4, RCAP_ALIGN
+                )
+                self.state = grow_runs_state(st, new_rcap)
+
     def _plan(self, extra_symbols: int):
         from ..index.packed import (
             PackedFlatBwt,
             grow_packed_state,
             packed_from_flat,
         )
+        from ..index.runs import RunBwt
 
         need = self._n + extra_symbols
         cap = self.state.cap
+        rthr = self._runs_threshold()
+        if rthr is not None and (
+            need > rthr or isinstance(self.state, RunBwt)
+        ):
+            self._plan_runs(need, extra_symbols)
+            return
         thr = self._pack_threshold()
         is_packed = isinstance(self.state, PackedFlatBwt)
         want_packed = thr is not None and (need > thr or is_packed)
@@ -1080,8 +1191,15 @@ class TpuBwt:
     def bwt_array(self) -> np.ndarray:
         """The full BWT as an int8 numpy array (host transfer)."""
         from ..index.packed import PackedFlatBwt, unpack_bwt_np
+        from ..index.runs import RunBwt, runs_to_host
 
         n = self.n
+        if isinstance(self.state, RunBwt):
+            assert int(self.state.overflow) == 0, "run-tier envelope breach"
+            syms, lens = runs_to_host(self.state)
+            out = np.repeat(syms, lens)
+            assert out.shape[0] == n, (out.shape[0], n)
+            return out
         if isinstance(self.state, PackedFlatBwt):
             nb = -(-n // 256) * 128  # packed bytes covering the prefix
             return unpack_bwt_np(np.asarray(self.state.pbwt[:nb]))[:n]

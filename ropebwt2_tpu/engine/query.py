@@ -22,9 +22,10 @@ def _state_K(state, K):
     """Block size is derivable from the state's shapes; an explicit K only
     needs to be passed to override (and must then match the engine's)."""
     from ..index.packed import PackedFlatBwt
+    from ..index.runs import RunBwt
 
-    if isinstance(state, PackedFlatBwt):
-        return 128  # packed tables are per-symbol-row
+    if isinstance(state, (PackedFlatBwt, RunBwt)):
+        return 128  # packed tables per symbol-row; run tier K-free
     if K is not None:
         return K
     return state.bwt.shape[0] // (state.blk_prefix.shape[0] - 1)
@@ -32,7 +33,10 @@ def _state_K(state, K):
 
 def _pos_dtype(state):
     from ..index.packed import PackedFlatBwt
+    from ..index.runs import RunBwt
 
+    if isinstance(state, RunBwt):
+        return state.bstart.dtype
     if isinstance(state, PackedFlatBwt):
         return I64 if state.cap >= (1 << 31) else jnp.int32
     return state.blk_prefix.dtype
@@ -41,7 +45,12 @@ def _pos_dtype(state):
 def _base_rank(state, pos, K):
     from ..index.packed import PackedFlatBwt, rank_global_packed
     from ..index.rank import rank_global as _rg
+    from ..index.runs import RunBwt, rank_global_runs
 
+    if isinstance(state, RunBwt):
+        return rank_global_runs(
+            state.rend, state.rsym, state.bstart, state.bocc, pos
+        ).astype(_pos_dtype(state))
     if isinstance(state, PackedFlatBwt):
         return rank_global_packed(
             state.pbwt, state.blkA, state.blkB, pos

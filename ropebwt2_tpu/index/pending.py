@@ -26,6 +26,12 @@ Representation (all device-resident, static capacity Pcap):
 * ``blk_prefix`` int32[Pcap//KP+1, 6] per-symbol prefix counts at KP-block
            boundaries of psym — the same rank structure as the base buffer
            (index/rank.py), rebuilt after each round's merge-in.
+           (A FULL-RESOLUTION (pcap+1, 6) variant — occ = table[#(vp<g)],
+           one narrow gather replacing the final row gathers — was built
+           and measured 3.5x SLOWER on chip: (Q, 6)-row gathers over a
+           2^20-row span lower to a slow element-gather form, the same
+           pathology probe_gather_tpu.py shows for any non-128-lane row.
+           Keep gathered rows 128 lanes wide.)
 * ``p``    int32 scalar, live count.
 
 Merging one round's insertions (gX = old-coordinate insertion points,
@@ -158,10 +164,12 @@ def reset_pending(pend: PendingIndex) -> PendingIndex:
 
 def pending_rank(pend: PendingIndex, g):
     """(p, occ): p[q] = |{ i : vp[i] < g[q] }| and occ[q, s] = count of
-    symbol s among those pending rows — the searchsorted descent FUSED with
-    the pending symbol rank: the final level's block index addresses BOTH
-    the vp row (count < g) and the psym row + its table row, saving one
-    (Q, 128) gather per call vs a separate rank_global."""
+    symbol s among those pending rows.
+
+    The searchsorted descent is FUSED with the pending symbol rank: the
+    final level's block index addresses BOTH the vp row (count < g) and
+    the psym row + its table row, saving one (Q, 128) gather per call vs
+    a separate rank_global."""
     vp = pend.vp
     n = vp.shape[0]
     assert n % _F == 0, n
