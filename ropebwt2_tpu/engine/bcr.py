@@ -850,6 +850,34 @@ class TpuBwt:
             np.asarray(self.state.psize), np.asarray(self.state.pcounts),
         )
 
+    @staticmethod
+    def _runs_margin() -> float:
+        """Slot-growth factor per inserted symbol used for run-tier
+        capacity planning.  2.0 is the worst-case bound (every insertion
+        an isolated split: one new-symbol item + one tail piece) and
+        never overflows.  Lower values (ROPEBWT2_TPU_RUNS_MARGIN) size
+        rcap optimistically for compressible (coverage-shaped) data —
+        the flush's XLA ladder walks rcap slots, so a tight rcap is also
+        a throughput knob; the engine then pulls the true slot count
+        after every batch and ABORTS (sticky overflow flag) if a batch
+        ever out-grows the allocation."""
+        return float(os.environ.get("ROPEBWT2_TPU_RUNS_MARGIN", "2.0"))
+
+    def _post_batch_runs(self, total: int):
+        from ..index.runs import RunBwt
+
+        if not isinstance(self.state, RunBwt):
+            return
+        if self._runs_margin() >= 2.0:
+            self._nslot_bound += 2 * total + 1024
+        else:
+            self._nslot_bound = int(self.state.nslot)
+            if int(self.state.overflow):
+                raise RuntimeError(
+                    "run-tier slot allocation overflowed (raise "
+                    "ROPEBWT2_TPU_RUNS_MARGIN); the build is corrupt"
+                )
+
     def _plan_runs(self, need: int, extra: int):
         from ..index.runs import (
             RCAP_ALIGN, RunBwt, gdt_for_symbols, grow_runs_state,
@@ -875,12 +903,13 @@ class TpuBwt:
             )
             st = _dc.replace(st, rend=rend, bstart=bstart, bocc=bocc)
             self.state = st
-        slots_needed = self._nslot_bound + 2 * extra + 256
+        f = self._runs_margin()
+        slots_needed = self._nslot_bound + int(f * extra) + 2048
         if slots_needed > st.rcap:
             # tighten the bound with one scalar pull before growing
             self._nslot_bound = int(st.nslot)
             assert int(st.overflow) == 0, "run-tier envelope breached"
-            slots_needed = self._nslot_bound + 2 * extra + 256
+            slots_needed = self._nslot_bound + int(f * extra) + 2048
             if slots_needed > st.rcap:
                 new_rcap = _round_up(
                     slots_needed + slots_needed // 4, RCAP_ALIGN
@@ -1032,6 +1061,7 @@ class TpuBwt:
         self.state = state
         self._n += total
         self._n_strings += m
+        self._post_batch_runs(total)
 
     def insert_nul_batch(self, nulbuf: np.ndarray):
         """Insert a batch given as a buffer of NUL-terminated, insertion-
@@ -1169,6 +1199,7 @@ class TpuBwt:
         self.state = state
         self._n += total
         self._n_strings += m
+        self._post_batch_runs(total)
 
     def insert1(self, read):
         """Single-string insertion (mr_insert1 semantics).  Identical output

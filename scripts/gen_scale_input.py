@@ -1,15 +1,21 @@
-"""Write the exact read set scale_run.py builds (same RNG stream: seed
-12345, SCALE_MBATCH-read draws) as ACGT text lines, for feeding the
-reference binary in the Gsym-scale parity check.
+"""Write the exact read set scale_run.py builds (same generator stream:
+scripts/readgen.py with the same SCALE_* env) as ACGT text lines, for
+feeding the reference binary in the Gsym-scale parity check.
 
 Usage: python scripts/gen_scale_input.py /path/out.txt
-Env: SCALE_NREADS (default 10_485_760), SCALE_L (101), SCALE_MBATCH (2^21).
+Env: SCALE_NREADS (default 10_485_760), SCALE_L (101), SCALE_MBATCH
+(2^21 — the draw chunking, part of the stream definition), SCALE_DATA /
+SCALE_COV / SCALE_ERR / SCALE_SEED (readgen).
 """
 
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 import numpy as np
+
+import readgen
 
 LUT = np.frombuffer(b"$ACGTN", dtype=np.uint8)
 
@@ -19,12 +25,12 @@ def main():
     L = int(os.environ.get("SCALE_L", 101))
     mbatch = int(os.environ.get("SCALE_MBATCH", 1 << 21))
     out = sys.argv[1]
-    rng = np.random.default_rng(12345)
+    gen = readgen.from_env(None, nreads, L, mbatch)
     done = 0
     with open(out, "wb") as f:
         while done < nreads:
             m = min(mbatch, nreads - done)
-            reads = rng.integers(1, 5, size=(m, L), dtype=np.uint8).view(np.int8)
+            reads = gen.batch(m)
             lines = np.empty((m, L + 1), np.uint8)
             lines[:, :L] = LUT[reads]
             lines[:, L] = ord("\n")

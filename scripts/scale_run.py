@@ -15,6 +15,9 @@ order invariant (README.md:15-25), so batching does not affect the hash.
 
 Env: SCALE_NREADS (default 10_485_760), SCALE_L (101), SCALE_MBATCH
 (default 2^21), SCALE_SO (1=RLO), SCALE_JSON (output path), SCALE_MD5=1.
+Read-set shape (scripts/readgen.py): SCALE_DATA=uniform|coverage,
+SCALE_COV (47), SCALE_ERR (0.01), SCALE_SEED (12345).  Index tier:
+ROPEBWT2_TPU_RUNS / ROPEBWT2_TPU_PACK4 (engine envs).
 """
 
 import json
@@ -23,6 +26,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -53,13 +57,15 @@ def main():
           f"(pos dtype {'int32' if eng.state.cap < (1 << 31) - 1 else 'int64'})",
           flush=True)
 
-    rng = np.random.default_rng(12345)
+    import readgen
+
+    gen = readgen.from_env(None, nreads, L, mbatch)
     t0 = time.time()
     batch_walls = []
     done = 0
     while done < nreads:
         m = min(mbatch, nreads - done)
-        reads = rng.integers(1, 5, size=(m, L), dtype=np.uint8).view(np.int8)
+        reads = gen.batch(m).view(np.int8)
         tb = time.time()
         eng.insert_multi(reads)
         # force completion: device->host transfer is the only reliable sync
@@ -105,7 +111,7 @@ def main():
     # FM-index spot check: planted substrings must be found
     from ropebwt2_tpu.engine.query import backward_search
 
-    probe = rng.integers(1, 5, size=(4, 12)).astype(np.int8)
+    probe = gen.rng.integers(1, 5, size=(4, 12)).astype(np.int8)
     # plant each probe in a tiny extra batch so occurrence >= 1 is guaranteed
     eng.insert_multi(list(probe))
     lo, hi = backward_search(
@@ -136,7 +142,18 @@ def main():
         "device": f"{dev.platform}:{dev.device_kind}",
         "batch_walls_s": batch_walls,
         "capacity": eng.state.cap,
+        "data": {
+            "mode": os.environ.get("SCALE_DATA", "uniform"),
+            "cov": float(os.environ.get("SCALE_COV", 47.0)),
+            "err": float(os.environ.get("SCALE_ERR", 0.01)),
+        },
     }
+    if hasattr(eng.state, "nslot"):
+        ns = int(eng.state.nslot)
+        result["index_tier"] = "runs"
+        result["run_slots"] = ns
+        result["sym_per_run"] = round(total_syms / max(ns, 1), 2)
+        result["index_bytes_per_sym"] = round(5.0 * ns / total_syms, 4)
     if bwt_md5 is not None:
         result["bwt_md5"] = bwt_md5
     with open(out_path, "w") as f:
