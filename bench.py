@@ -4,12 +4,21 @@
 Reports BOTH construction regimes plus the query metric (BASELINE.json's
 metric is "symbols inserted/sec/chip; rank queries/sec"):
 
-* batch regime — one batch into an EMPTY index (live prefix ~ batch); the
-  headline `value`, comparable to BENCH_r01/r02.
-* sustained — the same batch size inserted into an index prefilled to
-  PREFILL_X times the batch (the full-build regime the reference's worm
-  numbers measure; SCALE_r0N.json is the Gsym-scale version).
+* sustained — the HEADLINE `value`: batches inserted into an index
+  prefilled to PREFILL_X times the batch, i.e. the steady-state regime a
+  full build spends its time in (the regime the reference's worm wall
+  number measures; SCALE_r0N.json is the Gsym-scale version).
+* batch regime — one batch into an EMPTY index (live prefix ~ batch);
+  kept in detail for comparability with BENCH_r01-r04, whose top-level
+  value was this (more flattering) number.
 * rank queries/sec — batched 6-symbol rank over the built index.
+
+Read shape: BENCH_DATA=coverage (default) samples reads from one genome
+at 47x with 1% substitution errors — the statistical shape of the
+reference's own benchmark datasets (worm = 66.8M x 100 bp over ~100 Mbp
+~= 47x resequencing, README.md:139-152).  BENCH_DATA=uniform gives the
+i.i.d.-random reads earlier rounds measured (no shared suffixes: rank
+U-end skips fire more, but it is not the baseline's workload).
 
 Baseline: the reference's worm RLO row (66.8M x 100bp in 506 s wall on a
 48-core Xeon = 13.2 Msym/s, BASELINE.md).  Prints exactly one JSON line.
@@ -25,7 +34,8 @@ Env knobs: BENCH_M (#reads), BENCH_L (read length), BENCH_SO (0/1/2),
 BENCH_RUNS (timed runs, default 5), BENCH_PREFILL_X (default 8),
 BENCH_SUSTAIN_RUNS (default 2), BENCH_TIMEOUT (seconds, default 1500),
 BENCH_CPU=1 (force local CPU), BENCH_K (block size, default 128 = the
-engine default).
+engine default), BENCH_DATA (coverage|uniform), BENCH_COV (47),
+BENCH_ERR (0.01).
 """
 
 import json
@@ -57,8 +67,20 @@ def inner():
 
     from ropebwt2_tpu.engine import TpuBwt
 
-    rng = np.random.default_rng(0)
-    reads = rng.integers(1, 5, size=(M, L), dtype=np.uint8).view(np.int8)
+    data_mode = os.environ.get("BENCH_DATA", "coverage")
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from readgen import ReadGen
+
+    nbatches = 1 + prefill_x + sustain_runs
+    gen = ReadGen(
+        seed=0, nreads=M * nbatches, L=L, mode=data_mode,
+        cov=float(os.environ.get("BENCH_COV", 47.0)),
+        err=float(os.environ.get("BENCH_ERR", 0.01)),
+    )
+    # batch-regime reads reused across timed runs; sustained batches drawn
+    # fresh (a prefilled coverage index must not see literal repeats)
+    reads = gen.batch(M).view(np.int8)
     syms = M * (L + 1)
     dev = jax.devices()[0]
     devs = f"{dev.platform}:{dev.device_kind}"
@@ -80,30 +102,41 @@ def inner():
 
     def report():
         t = state["batch_t"]
-        value = syms / t
         detail = {
             "reads": M,
             "read_len": L,
             "sorting_order": so,
             "K": K,
-            "wall_s": round(t, 4),
             "device": devs,
-            "timed_runs": state["batch_runs"],
-            "regime": "batch (one batch into an empty index)",
+            "data": data_mode,
             "baseline":
                 "ropebwt2 -brRm10g worm 13.2 Msym/s wall (README.md:176)",
+            "batch": {
+                "value": round(syms / t, 1),
+                "unit": "symbols/s/chip",
+                "vs_baseline": round(syms / t / BASELINE, 3),
+                "wall_s": round(t, 4),
+                "timed_runs": state["batch_runs"],
+                "regime": "one batch into an empty index (the r01-r04 "
+                          "top-level value; flattering — merge traffic ~ "
+                          "batch size)",
+            },
         }
         if state["sustained"] is not None:
             sv = state["sustained"]
-            detail["sustained"] = {
-                "value": round(sv["thr"], 1),
-                "unit": "symbols/s/chip",
-                "vs_baseline": round(sv["thr"] / BASELINE, 3),
-                "prefill_symbols": sv["prefill_sym"],
-                "timed_batches": sv["batches"],
-                "regime":
-                    f"batches into a ~{prefill_x}x-batch prefilled index",
-            }
+            value = sv["thr"]
+            detail["regime"] = (
+                f"sustained: batches into a ~{prefill_x}x-batch "
+                "prefilled index (steady-state of a full build)"
+            )
+            detail["prefill_symbols"] = sv["prefill_sym"]
+            detail["timed_batches"] = sv["batches"]
+        else:
+            value = syms / t
+            detail["regime"] = (
+                "batch (sustained stage pending; value will switch to "
+                "the sustained number)"
+            )
         if state["warmup_s"] is not None:
             detail["warmup_s"] = round(state["warmup_s"], 1)
         if state["rank"] is not None:
@@ -159,19 +192,20 @@ def inner():
             "sustained-stage-pending"
         report()
 
-    # ---- sustained regime ----
+    # ---- sustained regime (fresh coverage batches each step) ----
     eng = TpuBwt(so=so, K=K)
     eng._plan((prefill_x + sustain_runs + 1) * syms)
     t0 = time.time()
     for i in range(prefill_x):
-        eng.insert_multi(reads)
+        eng.insert_multi(gen.batch(M).view(np.int8))
     eng.counts()
     print(f"[bench] prefill {prefill_x} batches: {time.time()-t0:.1f}s",
           file=sys.stderr)
     walls = []
     for i in range(sustain_runs):
+        sreads = gen.batch(M).view(np.int8)
         t0 = time.time()
-        eng.insert_multi(reads)
+        eng.insert_multi(sreads)
         eng.counts()
         walls.append(time.time() - t0)
         print(f"[bench] sustained run {i+1}/{sustain_runs}: {walls[-1]:.2f}s",
