@@ -21,7 +21,7 @@ _tried = False
 
 def _build():
     cmd = [
-        "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+        "g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
         "-o", _SO + ".tmp", _SRC, "-lz",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
@@ -74,6 +74,8 @@ def get_lib():
         lib.rb2_crlf_write.argtypes = [p8, pi64, i64, pi64, c.c_char_p]
         lib.rb2_text_write.restype = c.c_int
         lib.rb2_text_write.argtypes = [pi8, i64, c.c_char_p]
+        lib.rb2_fmd_decode.restype = i64
+        lib.rb2_fmd_decode.argtypes = [p8, i64, p8, pi64, i64]
         _lib = lib
         return _lib
 
@@ -105,6 +107,35 @@ def extract_runs(bwt: np.ndarray):
     got = lib.rb2_extract_runs(_pi8(bwt), n, _p8(sym), _pi64(ln))
     assert got == nr
     return sym, ln
+
+
+def fmd_decode(path):
+    """Native bulk decode of an FMD file: (sym uint8[], len int64[]) run
+    arrays, adjacent equal runs merged — the memory-bandwidth restore path
+    (counterpart of rld_restore_mmap + rld_dec, rld0.c:308-327).  Returns
+    None if the native library is unavailable; raises on a corrupt file."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    data = np.memmap(path, dtype=np.uint8, mode="r")
+    n_bytes = int(np.frombuffer(data[16:24].tobytes(), np.uint64)[0]) \
+        if data.shape[0] >= 24 else 0
+    # a run costs >= 4 bits in the delta stream; 1/byte covers all but
+    # adversarial streams — the decoder returns the true total, so a
+    # short guess costs exactly one retry at the exact size
+    cap = max(n_bytes + 16, 1 << 12)
+    for _ in range(2):
+        sym = np.empty(cap, np.uint8)
+        ln = np.empty(cap, np.int64)
+        nr = lib.rb2_fmd_decode(
+            _p8(data), data.shape[0], _p8(sym), _pi64(ln), cap
+        )
+        if nr == -2:
+            raise ValueError(f"{path}: not an FMD file")
+        if nr <= cap:
+            return sym[:nr].copy(), ln[:nr].copy()
+        cap = nr
+    raise RuntimeError("unreachable")
 
 
 class NativeReader:

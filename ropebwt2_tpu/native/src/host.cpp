@@ -15,6 +15,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <memory>
+#include <thread>
 #include <vector>
 #include <zlib.h>
 
@@ -700,6 +702,168 @@ int rb2_text_write(const int8_t *bwt, int64_t n, const char *path) {
   if (fp != stdout) fclose(fp);
   else fflush(fp);
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// FMD bulk decoder — the native streaming-restore path (the counterpart of
+// FmdEnc above; format math dictated by rld_dec0/rld_restore,
+// /root/reference/rld0.h:79-96, rld0.c:269-306).  Decodes the whole
+// run-length payload of a mapped FMD file into (sym, len) arrays at memory
+// bandwidth, merging adjacent equal-symbol runs.  Input is the FILE bytes
+// (header included).  Returns the TOTAL run count; writes only the first
+// out_cap runs (callers retry once with the exact size if the guess was
+// short).  Returns -2 on a bad magic/header.
+// ---------------------------------------------------------------------------
+
+struct FmdGeom {
+  const uint64_t *d;
+  int asize, abits;
+  int64_t ssize, offset0[3], last;
+};
+
+static bool fmd_geom(const uint8_t *file, int64_t file_bytes, FmdGeom *g) {
+  if (file_bytes < 80) return false;
+  const uint64_t *w = (const uint64_t *)file;
+  if ((uint32_t)(w[0] & 0xffffffffu) != 0x03444c52u) return false;
+  uint32_t a = (uint32_t)(w[0] >> 32);
+  g->asize = (int)(a >> 16);
+  int sbits = (int)(a & 0xffff);
+  int asize1 = g->asize + 1;
+  g->abits = 0;
+  for (int v = g->asize; v; v >>= 1) ++g->abits;
+  g->ssize = 1LL << sbits;
+  int64_t n_bytes = (int64_t)w[2];
+  const int64_t HDR = 10;
+  if (HDR * 8 + n_bytes > file_bytes) return false;
+  g->d = w + HDR;
+  g->offset0[0] = (asize1 * 16 + 63) / 64;
+  g->offset0[1] = (asize1 * 32 + 63) / 64;
+  g->offset0[2] = asize1;
+  g->last = ((n_bytes >> 3) >> sbits) << sbits;
+  return true;
+}
+
+// decode small blocks [sh_lo, sh_hi) (word offsets into the data region,
+// multiples of ssize) into sym/len, merging within the range.  Returns
+// the run count; writes only the first cap runs.
+static int64_t fmd_decode_range(const FmdGeom &g, int64_t sh_lo,
+                                int64_t sh_hi, uint8_t *sym_out,
+                                int64_t *len_out, int64_t cap) {
+  static constexpr uint64_t WTAB = 0x333333335555779BULL;
+  static constexpr int64_t LSIZE = 1 << 23;  // words per superblock
+  const uint64_t *d = g.d;
+  const int asize = g.asize, abits = g.abits;
+  const int64_t ssize = g.ssize;
+  int64_t nr = 0;
+  int last_c = -1;
+  for (int64_t shead = sh_lo; shead != sh_hi; shead += ssize) {
+    int type = (int)(d[shead] >> 62);
+    int64_t p = shead + g.offset0[type];
+    int64_t stail =
+        shead + ssize - ((((shead + ssize) & (LSIZE - 1)) == 0) ? 2 : 1);
+    int r = 64;
+    for (;;) {
+      uint64_t x = d[p] << (64 - r);
+      if (p != stail && r != 64) x |= d[p + 1] >> r;
+      int wd, c;
+      uint64_t y;
+      if (!(x >> 63)) {
+        wd = (int)((WTAB >> ((x >> 59) << 2)) & 0xF);
+        if (wd == 0xB && !(x >> 58)) break;  // end-of-block padding
+        int lb = (int)((x >> (64 - wd)) - 1);
+        y = lb ? ((x << wd) >> (64 - lb)) | (1ULL << lb) : 1ULL;
+        wd += lb;
+      } else {
+        wd = 1;
+        y = 1;
+      }
+      c = (int)((x << wd) >> (64 - abits));
+      wd += abits;
+      if (c > asize) break;
+      if (r > wd) {
+        r -= wd;
+      } else {
+        p += 1;
+        r = 64 + r - wd;
+      }
+      if (p > stail) break;
+      if (c == last_c) {
+        if (nr <= cap) len_out[nr - 1] += (int64_t)y;
+      } else {
+        if (nr < cap) {
+          sym_out[nr] = (uint8_t)c;
+          len_out[nr] = (int64_t)y;
+        }
+        last_c = c;
+        ++nr;
+      }
+    }
+  }
+  return nr;
+}
+
+int64_t rb2_fmd_decode(const uint8_t *file, int64_t file_bytes,
+                       uint8_t *sym_out, int64_t *len_out,
+                       int64_t out_cap) {
+  FmdGeom g;
+  if (!fmd_geom(file, file_bytes, &g)) return -2;
+  int T = (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if (T > 16) T = 16;
+  int64_t n_sblocks = g.last / g.ssize;
+  if (T == 1 || n_sblocks < 4 * T) {
+    return fmd_decode_range(g, 0, g.last, sym_out, len_out, out_cap);
+  }
+  // parallel in WAVES of T bounded chunks; per-thread scratch allocated
+  // once (default-initialized, not zeroed) and sized by the HARD bound
+  // of 2 runs/byte (every run costs >= 4 bits), so no overflow path is
+  // needed.  Stitch = boundary merge + memcpy per chunk, in order.
+  const int64_t CHUNK_WORDS = 4LL << 20;  // 32 MB of file per chunk
+  int64_t chunk = ((CHUNK_WORDS + g.ssize - 1) / g.ssize) * g.ssize;
+  int64_t cap = 2 * chunk * 8 + 16;
+  std::vector<std::unique_ptr<uint8_t[]>> ssym(T);
+  std::vector<std::unique_ptr<int64_t[]>> slen(T);
+  for (int t = 0; t < T; ++t) {
+    ssym[t].reset(new uint8_t[cap]);
+    slen[t].reset(new int64_t[cap]);
+  }
+  std::vector<int64_t> cnt(T);
+  int64_t nr = 0;
+  int last_c = -1;
+  for (int64_t base = 0; base < g.last; base += (int64_t)T * chunk) {
+    std::vector<std::thread> th;
+    int used = 0;
+    for (int t = 0; t < T; ++t) {
+      int64_t sh_lo = base + t * chunk;
+      if (sh_lo >= g.last) break;
+      int64_t sh_hi = sh_lo + chunk < g.last ? sh_lo + chunk : g.last;
+      ++used;
+      th.emplace_back([&, t, sh_lo, sh_hi]() {
+        cnt[t] = fmd_decode_range(g, sh_lo, sh_hi, ssym[t].get(),
+                                  slen[t].get(), cap);
+      });
+    }
+    for (auto &x : th) x.join();
+    for (int t = 0; t < used; ++t) {
+      int64_t n = cnt[t];
+      if (!n) continue;
+      int64_t off = 0;
+      if (last_c >= 0 && ssym[t][0] == (uint8_t)last_c) {
+        if (nr <= out_cap) len_out[nr - 1] += slen[t][0];
+        off = 1;
+      }
+      int64_t take = n - off;
+      int64_t room = out_cap - nr;
+      if (room > 0) {
+        int64_t m = take < room ? take : room;
+        memcpy(sym_out + nr, ssym[t].get() + off, (size_t)m);
+        memcpy(len_out + nr, slen[t].get() + off, (size_t)m * 8);
+      }
+      nr += take;
+      last_c = ssym[t][n - 1];
+    }
+  }
+  return nr;
 }
 
 }  // extern "C"

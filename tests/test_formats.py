@@ -211,3 +211,31 @@ def test_fmd_reader_lazy_rank_and_dec_enc(ref_binary, rng, tmp_path):
     occ = np.asarray(rank1a(st, pts))
     for i, k in enumerate(pts):
         assert list(occ[i]) == [(bwt[:k] == a).sum() for a in range(6)]
+
+
+def test_fmd_native_bulk_decode(ref_binary, rng, tmp_path):
+    """rb2_fmd_decode (the native bulk restore, rld_restore_mmap +
+    rld_dec counterpart) must reproduce the Python block decoder's runs
+    exactly on a reference-written FMD, and to_flat must restore a
+    queryable index with the right counts."""
+    from ropebwt2_tpu.io.fmd import FmdReader, read_fmd
+    from ropebwt2_tpu.native.lib import fmd_decode, native_available
+
+    reads = random_reads(rng, 300, lo=8, hi=80)
+    fmd_path = tmp_path / "ref.fmd"
+    subprocess.run(
+        [ref_binary, "-LRd", "-o", str(fmd_path), "-"],
+        input=reads_to_lines(reads), check=True, capture_output=True,
+    )
+    r = FmdReader(str(fmd_path))
+    syms, lens = r.runs_arrays()
+    runs_eager, mcnt = read_fmd(str(fmd_path))
+    assert [(int(c), int(l)) for c, l in zip(syms, lens)] == runs_eager
+    if native_available():
+        dec = fmd_decode(str(fmd_path))
+        assert dec is not None
+        assert np.array_equal(dec[0], syms) and np.array_equal(dec[1], lens)
+    st = r.to_flat()
+    n = int(lens.sum())
+    assert int(st.n) == n == mcnt[0]
+    assert np.asarray(st.pcounts).sum() == n
