@@ -44,6 +44,7 @@ from ..index.pending import (
     pending_cap,
     pending_flush_args,
     rank_virtual_base,
+    rank_virtual2_base,
     reset_pending,
 )
 from ..index.rank import build_block_tables, rank_global
@@ -86,6 +87,21 @@ def _state_rank_fn(state, K, gdt):
             state.pbwt, state.blkA, state.blkB, g
         ).astype(gdt)
     return lambda g: rank_global(state.bwt, state.blk_prefix, g, K)
+
+
+def _state_rank2_fn(state, K, gdt):
+    """Fused two-point rank (precondition: widths <= K) or None for the
+    two-call fallback.  Implemented for the int8 flat tier (the bench/
+    scale throughput path); other tiers fall back."""
+    from ..index.rank import rank2_global
+
+    if isinstance(state, FlatBwt):
+        def f(gl, gu):
+            ol, ou = rank2_global(state.bwt, state.blk_prefix, gl, gu, K)
+            return ol.astype(gdt), ou.astype(gdt)
+
+        return f
+    return None
 
 
 def _state_merge(state, gX, sym, stream, active, n, K):
@@ -163,7 +179,7 @@ def _insertion_order(so):
 
 
 def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
-               rank_fn, *, so, comm=None, gdt=None):
+               rank_fn, *, so, comm=None, gdt=None, rank2_fn=None):
     """Steps 1-4 + interval updates of one BCR round, independent of how the
     flat buffer is stored: ``rank_fn(gpos) -> (M, 6)`` supplies GLOBAL
     6-symbol ranks (single-device table lookup, or routed shard lookups).
@@ -330,24 +346,47 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
         # Interval widths start at the PREVIOUS string count and shrink
         # ~4x per round (reads sharing a suffix), hitting zero after
         # ~log4 rounds — from then on the U-end rank is identically the
-        # L-end rank.  Runtime-skip the second M-query rank (and, on the
-        # deferred path, its pending_rank descent) whenever every active
-        # interval is empty: ~85% of rounds in a sustained build, and ALL
-        # rounds of a first batch.  All shards see the same comm-reduced
-        # predicate, so the cond is SPMD-safe under shard_map.
-        TLr = rank_fn(gLq)
-        # only zero-vs-nonzero matters; compare in the natural dtype so a
-        # width that is 0 mod 2^32 (legal under the 2^37 envelope) cannot
-        # alias to "empty" through an int32 cast
-        wmax = comm.max_scalar(jnp.where(active, (U != L).astype(I32), 0))
+        # L-end rank.  Three width regimes, selected by ONE comm-reduced
+        # predicate (SPMD-safe under shard_map):
+        #   wmax == 0   skip the U-end rank entirely (all of a first
+        #               batch; most uniform-data sustained rounds);
+        #   wmax <= 128 FUSED two-point rank: both ends from one paired
+        #               row gather (rank2_fn) — the common coverage-data
+        #               regime, where shared suffixes keep intervals
+        #               non-empty for most of the read length;
+        #   else        two independent rank calls (early rounds).
+        # widths are partition-local and exact in pdt; clamp before the
+        # int32 cast so only the {0, <=128, >128} classification survives
+        wmax = comm.max_scalar(
+            jnp.where(
+                active,
+                jnp.minimum(U - L, jnp.asarray(1 << 20, pdt)),
+                jnp.zeros((), pdt),
+            ).astype(I32)
+        )
         gUq = poc + U
-        # delta (interval symbol counts) and TL (partition-relative ranks)
-        # are < the partition size: back to pdt right after the global ops
-        delta = jax.lax.cond(
+        if rank2_fn is None:
+            def rank2_fn(a, b):  # fallback: two independent calls
+                return rank_fn(a), rank_fn(b)
+
+        def only_l():
+            TLr = rank_fn(gLq)
+            return TLr, jnp.zeros_like(TLr)
+
+        def fused():
+            ol, ou = rank2_fn(gLq, gUq)
+            return ol, ou - ol
+
+        def separate():
+            TLr = rank_fn(gLq)
+            return TLr, rank_fn(gUq) - TLr
+
+        TLr, delta = jax.lax.cond(
             wmax == 0,
-            lambda: jnp.zeros_like(TLr),
-            lambda: rank_fn(gUq) - TLr,
-        ).astype(pdt)
+            only_l,
+            lambda: jax.lax.cond(wmax <= 128, fused, separate),
+        )
+        delta = delta.astype(pdt)
         TL = (TLr - pprefix_c).astype(pdt)
 
     # ---- 4. insertion points per symbol, start-of-round local coords ----
@@ -480,7 +519,7 @@ def bcr_round_impl(state, reads: ReadStates, buf, d, is_first, *, K, so):
     rank_fn = _state_rank_fn(state, K, gdt)
     new_reads, gX, sym, stream, active, ins_bucket, n_ins = plan_round(
         state.psize, state.pcounts, reads, buf, d, is_first, rank_fn,
-        so=so, gdt=gdt,
+        so=so, gdt=gdt, rank2_fn=_state_rank2_fn(state, K, gdt),
     )
     # ---- merge (+ fused rank-table rebuild on the Pallas path) ----
     merged = _state_merge(state, gX, sym, stream, active, state.n, K)
@@ -535,14 +574,20 @@ def bcr_batch_deferred_impl(state, reads, buf, n_rounds, *, K, so, defer_r,
         st, rd, pend = carry
         # base buffer + tables frozen through the inner loop
         base_fn = _state_rank_fn(st, K, gdt)
+        base2_fn = _state_rank2_fn(st, K, gdt)
         lo = sidx * defer_r
 
         def inner(d, c):
             (n, psize, pcounts), rd, pend = c
             rank_fn = lambda g: rank_virtual_base(base_fn, pend, g)  # noqa: E731
+            rank2_fn = None
+            if base2_fn is not None:
+                rank2_fn = lambda gl, gu: rank_virtual2_base(  # noqa: E731
+                    base2_fn, pend, gl, gu
+                )
             new_rd, gX, sym, stream, active, ins_bucket, n_ins = plan_round(
                 psize, pcounts, rd, buf, d.astype(I32), d == 0, rank_fn,
-                so=so, gdt=gdt,
+                so=so, gdt=gdt, rank2_fn=rank2_fn,
             )
             pend = pending_add(pend, gX, sym, stream, active)
             return (

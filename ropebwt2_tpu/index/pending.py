@@ -202,6 +202,70 @@ def pending_rank(pend: PendingIndex, g):
     return p, occ
 
 
+def pending_rank2(pend: PendingIndex, gl, gu):
+    """Fused two-point pending rank for NARROW intervals: (pl, occl, pu,
+    occu) with the PRECONDITION 0 <= gu - gl <= KP per query.  Then the
+    number of pending rows in [gl, gu) is <= KP (each row IS one virtual
+    symbol), so both boundaries live in one adjacent block pair: one
+    descent + ONE paired row gather serves both ends."""
+    vp = pend.vp
+    n = vp.shape[0]
+    assert n % _F == 0, n
+    levels = [vp]
+    while levels[-1].shape[0] > _F:
+        nxt = levels[-1][::_F]
+        if nxt.shape[0] % _F and nxt.shape[0] > _F:
+            pad = _F - nxt.shape[0] % _F
+            nxt = jnp.concatenate(
+                [nxt, jnp.full((pad,), jnp.iinfo(vp.dtype).max, vp.dtype)]
+            )
+        levels.append(nxt)
+    glq = gl[:, None].astype(vp.dtype)
+    guq = gu[:, None].astype(vp.dtype)
+    top = levels[-1]
+    cnt = jnp.sum(top[None, :] < glq, axis=1, dtype=I32)
+    j = jnp.maximum(cnt - 1, 0)
+    for lvl in levels[-2:0:-1]:
+        rows = lvl.reshape(-1, _F)[j]
+        c = jnp.sum(rows < glq, axis=1, dtype=I32)
+        j = jnp.maximum(j * _F + c - 1, 0)
+    nbk = n // _F
+    jc = jnp.clip(j, 0, max(nbk - 2, 0)).astype(I32)
+
+    def pair_gather(arr2d, sizes):
+        return jax.lax.gather(
+            arr2d, jc[:, None],
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2), collapsed_slice_dims=(),
+                start_index_map=(0,),
+            ),
+            slice_sizes=sizes,
+            mode=jax.lax.GatherScatterMode.CLIP,
+        ).reshape(-1, 2 * _F)
+
+    vpair = pair_gather(vp.reshape(-1, _F), (2, _F))
+    spair = pair_gather(pend.psym.reshape(-1, _F), (2, _F))
+    inl = vpair < glq
+    inu = vpair < guq
+    pl = jc * _F + jnp.sum(inl, axis=1, dtype=I32)
+    pu = jc * _F + jnp.sum(inu, axis=1, dtype=I32)
+    base = pend.blk_prefix[jc]
+    sym = jnp.arange(NSYM, dtype=pend.psym.dtype)
+    eq = spair[:, :, None] == sym[None, None, :]
+    occl = base + (eq & inl[:, :, None]).sum(axis=1, dtype=I32)
+    occu = base + (eq & inu[:, :, None]).sum(axis=1, dtype=I32)
+    return pl, occl, pu, occu
+
+
+def rank_virtual2_base(base2_fn, pend: PendingIndex, gl, gu):
+    """Fused two-point rank_virtual (precondition gu - gl <= KP):
+    base2_fn(bl, bu) -> (occl, occu) over the base with bu - bl <= KP
+    guaranteed (pending rows in [gl, gu) shrink the base interval)."""
+    pl, el, pu, eu = pending_rank2(pend, gl, gu)
+    bl, bu = base2_fn(gl - pl.astype(gl.dtype), gu - pu.astype(gu.dtype))
+    return bl + el.astype(bl.dtype), bu + eu.astype(bu.dtype)
+
+
 def rank_virtual(bwt, blk_prefix, pend: PendingIndex, g, K: int):
     """6-symbol rank of the virtual (base + pending) sequence at positions
     ``g`` (0 <= g <= n_virtual).  Returns (Q, 6) in blk_prefix's dtype."""

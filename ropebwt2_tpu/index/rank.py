@@ -6,6 +6,7 @@ prefix-count table plus a vectorized in-block count, instead of a B+-tree
 descent plus run decoding.  All queries are batched.
 """
 
+import jax
 import jax.numpy as jnp
 
 from ..alphabet import NSYM
@@ -50,3 +51,43 @@ def rank_global(bwt, blk_prefix, pos, K: int):
     eq = blkdata[:, :, None] == sym[None, None, :]  # (Q, K, 6)
     inc = (eq & inmask[:, :, None]).sum(axis=1, dtype=jnp.int32)
     return base + inc.astype(blk_prefix.dtype)
+
+
+def rank2_global(bwt, blk_prefix, gl, gu, K: int):
+    """Fused two-point rank for NARROW intervals: (occ_l, occ_u) with the
+    PRECONDITION 0 <= gu - gl <= K for every query (then gu's block is
+    gl's block or the one after, so ONE paired-row gather serves both
+    ends).  This is the fast path for the BCR U-end rank: interval widths
+    collapse below K within a few rounds, and two full rank calls would
+    pay the (locality-bound) block gather twice (rope_rank2a's bidirectional
+    single-descent two-point rank is the reference analogue, rle.c:134)."""
+    blk = gl // K
+    nb = bwt.shape[0] // K
+    blkc = jnp.clip(blk, 0, nb - 2)
+    # ONE windowed gather of (2, K) slices — the whole point vs two
+    # rank_global calls is a single 2K-byte row fetch per query
+    pair = jax.lax.gather(
+        bwt.reshape(-1, K),
+        blkc[:, None].astype(jnp.int32),
+        jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(),
+            start_index_map=(0,),
+        ),
+        slice_sizes=(2, K),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).reshape(-1, 2 * K)
+    j = jnp.arange(2 * K, dtype=jnp.int32)
+    wl = (gl - blkc * K).astype(jnp.int32)  # gl's offset within the pair
+    wu = (gu - blkc * K).astype(jnp.int32)
+    sym = jnp.arange(NSYM, dtype=bwt.dtype)
+    eq = pair[:, :, None] == sym[None, None, :]  # (Q, 2K, 6)
+    ml = (j[None, :] < wl[:, None])[:, :, None]
+    mu = (j[None, :] < wu[:, None])[:, :, None]
+    # base is the prefix at blkc*K: exact for both ends since wl, wu are
+    # within the pair (wu <= wl + K <= 2K by the precondition)
+    basec = blk_prefix[blkc]
+    inc_l = (eq & ml).sum(axis=1, dtype=jnp.int32)
+    inc_u = (eq & mu).sum(axis=1, dtype=jnp.int32)
+    occ_l = basec + inc_l.astype(blk_prefix.dtype)
+    occ_u = basec + inc_u.astype(blk_prefix.dtype)
+    return occ_l, occ_u
