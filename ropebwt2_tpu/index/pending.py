@@ -137,8 +137,12 @@ class PendingIndex:
 
 def pending_cap(max_rows_per_round: int, R: int) -> int:
     """Static pending capacity for R rounds of <= max_rows_per_round
-    insertions, padded to the lcm of the scan window (256) and KP."""
+    insertions, padded to the lcm of the scan window (256) and KP; large
+    capacities round to the Pallas kernel's super-block (131072) so the
+    VMEM-resident merge applies (pending_pallas.py)."""
     need = max(max_rows_per_round * R, 256)
+    if need >= (1 << 17):
+        return -(-need // (1 << 17)) * (1 << 17)
     return -(-need // 256) * 256
 
 
@@ -327,6 +331,9 @@ def pending_add(pend: PendingIndex, gX, sym, stream, active) -> PendingIndex:
         jnp.where(active, gX + stream, 0).astype(pdt),
         mode="drop", unique_indices=True,
     )
+
+    if _use_pallas_pending(pcap, pdt):
+        return _pending_add_pallas(pend, varr, sarr, active)
     is_new = sarr != 0
 
     # old rows: log-shift expand by c = prefix of is_new
@@ -357,6 +364,76 @@ def pending_add(pend: PendingIndex, gX, sym, stream, active) -> PendingIndex:
         psym=new_sym,
         blk_prefix=build_block_tables(new_sym, KP, dtype=I32),
         p=pend.p + n_new,
+    )
+
+
+def _use_pallas_pending(pcap: int, pdt) -> bool:
+    """The Pallas pending-merge kernel runs on real TPUs for int32
+    pending indexes whose capacity is a SUPER_B multiple (pending_cap
+    rounds capacities >= 131072 up to it)."""
+    import os
+
+    import jax
+
+    if os.environ.get("ROPEBWT2_TPU_PALLAS", "1") == "0":
+        return False
+    from .pending_pallas import SUPER_B
+
+    return (
+        jax.default_backend() == "tpu"
+        and pdt == I32
+        and pcap % SUPER_B == 0
+    )
+
+
+def _pending_add_pallas(pend: PendingIndex, varr, sarr, active,
+                        interpret=False):
+    """Kernel-backed pending merge: VMEM-resident expand ladder instead of
+    ~17 pcap-wide XLA passes (see index/pending_pallas.py)."""
+    from .pending_pallas import (
+        B as PB, PAD_ROWS, LANE, SUPER_B, pending_merge_pallas,
+    )
+
+    pcap = pend.cap
+    pdt = pend.vp.dtype
+    INF = _inf(pdt)
+    nb = pcap // PB
+    blk_cnts = jnp.sum((sarr != 0).reshape(nb, PB), axis=1, dtype=I32)
+    start_new = jnp.concatenate(
+        [jnp.zeros(1, I32), cumsum_blocked(blk_cnts)]
+    )
+    n_new = start_new[-1]
+    p_after = pend.p + n_new
+    nsb_active = jnp.minimum(
+        (p_after + SUPER_B - 1) // SUPER_B, pcap // SUPER_B
+    ).astype(I32)
+    padv = jnp.full((PAD_ROWS * LANE,), INF, pdt)
+    pads = jnp.full((PAD_ROWS * LANE,), PAD, jnp.int8)
+    new_vp, new_sym, cnt = pending_merge_pallas(
+        jnp.concatenate([pend.vp, padv]),
+        jnp.concatenate([pend.psym, pads]),
+        varr, sarr, start_new, nsb_active, interpret=interpret,
+    )
+    new_vp = new_vp[:pcap]
+    new_sym = new_sym[:pcap]
+    # repair the tail: super-blocks past the live prefix are uninitialized
+    # in the kernel outputs, but the descent reads the FULL width
+    iota = jnp.arange(pcap, dtype=I32)
+    dead = iota >= p_after
+    new_vp = jnp.where(dead, INF, new_vp)
+    new_sym = jnp.where(dead, PAD, new_sym)
+    # counts -> KP-block prefix (garbage rows sit past the live prefix and
+    # are never addressed by the descent)
+    nsb_total = pcap // SUPER_B
+    srows = SUPER_B // LANE
+    rows6 = jnp.transpose(
+        cnt.reshape(nsb_total, 8, srows)[:, :NSYM, :], (0, 2, 1)
+    ).reshape(pcap // LANE, NSYM)
+    table = jnp.concatenate(
+        [jnp.zeros((1, NSYM), I32), cumsum_blocked(rows6)]
+    )
+    return PendingIndex(
+        vp=new_vp, psym=new_sym, blk_prefix=table, p=p_after
     )
 
 
