@@ -102,11 +102,11 @@ def searchsorted_blocked(vp, g):
         levels.append(nxt)
     gq = g[:, None].astype(vp.dtype)
     top = levels[-1]
-    cnt = jnp.sum(top[None, :] < gq, axis=1, dtype=I32)  # (Q,)
+    cnt = jnp.sum(_lt(top[None, :], gq), axis=1, dtype=I32)  # (Q,)
     j = jnp.maximum(cnt - 1, 0)
     for lvl in levels[-2::-1]:
         rows = lvl.reshape(-1, _F)[j]  # (Q, F) gather
-        c = jnp.sum(rows < gq, axis=1, dtype=I32)
+        c = jnp.sum(_lt(rows, gq), axis=1, dtype=I32)
         j = jnp.maximum(j * _F + c - 1, 0)
     # the last iteration above ended at vp itself: recover the count from
     # the final block index + in-block count (j currently = count - 1
@@ -120,6 +120,25 @@ def _inf(pdt):
     headroom that sentinel + per-cycle shifts never overflow (shifts are
     clamped back to INF every round)."""
     return jnp.iinfo(pdt).max - (1 << 28)
+
+
+def _lt(rows, gq):
+    """rows < gq, elementwise with broadcasting.  For int64 operands the
+    compare runs as a hi/lo int32 pair compare (bitcast): int64 VECTOR
+    ops are 10-50x slower on the v5e (HACKING.md), and the descents over
+    >2^31-symbol pending indexes are compare-heavy.  Values are
+    non-negative (positions + the INF sentinel), so the signed-hi /
+    unsigned-lo composite ordering is exact."""
+    if rows.dtype != jnp.int64:
+        return rows < gq
+    r = jax.lax.bitcast_convert_type(rows, jnp.uint32)  # (..., 2) [lo, hi]
+    q = jax.lax.bitcast_convert_type(
+        jnp.broadcast_to(gq, jnp.broadcast_shapes(rows.shape, gq.shape)),
+        jnp.uint32,
+    )
+    rhi = r[..., 1].astype(I32)
+    qhi = q[..., 1].astype(I32)
+    return (rhi < qhi) | ((rhi == qhi) & (r[..., 0] < q[..., 0]))
 
 
 @jax.tree_util.register_dataclass
@@ -188,15 +207,15 @@ def pending_rank(pend: PendingIndex, g):
         levels.append(nxt)
     gq = g[:, None].astype(vp.dtype)
     top = levels[-1]
-    cnt = jnp.sum(top[None, :] < gq, axis=1, dtype=I32)
+    cnt = jnp.sum(_lt(top[None, :], gq), axis=1, dtype=I32)
     j = jnp.maximum(cnt - 1, 0)
     for lvl in levels[-2:0:-1]:  # down to (but excluding) vp itself
         rows = lvl.reshape(-1, _F)[j]
-        c = jnp.sum(rows < gq, axis=1, dtype=I32)
+        c = jnp.sum(_lt(rows, gq), axis=1, dtype=I32)
         j = jnp.maximum(j * _F + c - 1, 0)
     jb = j  # final 128-block of vp containing the boundary
     vrows = vp.reshape(-1, _F)[jb]
-    inb = vrows < gq  # (Q, 128) membership mask
+    inb = _lt(vrows, gq)  # (Q, 128) membership mask
     c = jnp.sum(inb, axis=1, dtype=I32)
     p = jb * _F + c
     srows = pend.psym.reshape(-1, _F)[jb]  # (Q, 128) int8
@@ -227,11 +246,11 @@ def pending_rank2(pend: PendingIndex, gl, gu):
     glq = gl[:, None].astype(vp.dtype)
     guq = gu[:, None].astype(vp.dtype)
     top = levels[-1]
-    cnt = jnp.sum(top[None, :] < glq, axis=1, dtype=I32)
+    cnt = jnp.sum(_lt(top[None, :], glq), axis=1, dtype=I32)
     j = jnp.maximum(cnt - 1, 0)
     for lvl in levels[-2:0:-1]:
         rows = lvl.reshape(-1, _F)[j]
-        c = jnp.sum(rows < glq, axis=1, dtype=I32)
+        c = jnp.sum(_lt(rows, glq), axis=1, dtype=I32)
         j = jnp.maximum(j * _F + c - 1, 0)
     nbk = n // _F
     jc = jnp.clip(j, 0, max(nbk - 2, 0)).astype(I32)
@@ -249,8 +268,8 @@ def pending_rank2(pend: PendingIndex, gl, gu):
 
     vpair = pair_gather(vp.reshape(-1, _F), (2, _F))
     spair = pair_gather(pend.psym.reshape(-1, _F), (2, _F))
-    inl = vpair < glq
-    inu = vpair < guq
+    inl = _lt(vpair, glq)
+    inu = _lt(vpair, guq)
     pl = jc * _F + jnp.sum(inl, axis=1, dtype=I32)
     pu = jc * _F + jnp.sum(inu, axis=1, dtype=I32)
     base = pend.blk_prefix[jc]
