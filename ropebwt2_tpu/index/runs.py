@@ -263,15 +263,12 @@ def _rebuild_tables(lens, syms, nslot, gdt):
     return rend, bstart, bocc
 
 
-def apply_insertions_runs(state: RunBwt, pos, sym, stream, valid):
-    """Apply one coalesced batch of insertions to the run array.
-
-    pos: int[M] old-coordinate global insertion points (non-decreasing
-    over valid rows); sym: int32[M]; stream: int[M] dense tie ranks over
-    valid rows consistent with pos order; valid: bool[M].
-
-    Returns the updated (rsym, rend, bstart, bocc, nslot, overflow)
-    fields as a dict for dataclasses.replace."""
+def _plan_items(state: RunBwt, pos, sym, stream, valid):
+    """Shared planning stage of the batched run insertion: classify cuts
+    (split/extend), compute items with the slot-economy rules, scatter
+    them to merged slots, and apply host trims/replacements to the OLD
+    per-slot arrays.  Returns (old_len, old_sym, ns_arr, nl_arr,
+    n_items, used_phantom) — see apply_insertions_runs."""
     rcap = state.rcap
     gdt = state.bstart.dtype
     M = pos.shape[0]
@@ -390,7 +387,60 @@ def apply_insertions_runs(state: RunBwt, pos, sym, stream, valid):
                                  unique_indices=True)
     old_sym = state.rsym.at[htgt].set(host_sym, mode="drop",
                                       unique_indices=True)
+    n_items = jnp.sum(ic, dtype=I64)
+    # end-inserts may REPLACE the phantom host slot at nslot: it becomes
+    # live when any group targeted rix == nslot
+    used_phantom = jnp.any(ghead & live & (rix == nslot32))
+    return old_len, old_sym, ns_arr, nl_arr, n_items, used_phantom
 
+
+def apply_insertions_runs(state: RunBwt, pos, sym, stream, valid):
+    """Apply one coalesced batch of insertions to the run array.
+
+    pos: int[M] old-coordinate global insertion points (non-decreasing
+    over valid rows); sym: int32[M]; stream: int[M] dense tie ranks over
+    valid rows consistent with pos order; valid: bool[M].
+
+    Returns the updated (rsym, rend, bstart, bocc, nslot, overflow)
+    fields as a dict for dataclasses.replace.
+
+    Two expand formulations: the monolithic log-shift ladder (full-width
+    temporaries ~19 B/slot — fine to a few hundred Msym of runs), and a
+    CHUNKED backward in-place ladder for large rcap (temporaries bounded
+    by the chunk; see _expand_chunked) selected when rcap >= RUNS_BIG."""
+    rcap = state.rcap
+    gdt = state.bstart.dtype
+    M = pos.shape[0]
+    old_len, old_sym, ns_arr, nl_arr, n_items, used_phantom = _plan_items(
+        state, pos, sym, stream, valid
+    )
+    if rcap >= RUNS_BIG and 2 * M <= RUNS_CHUNK:
+        new_len, new_sym = _expand_chunked(
+            old_len, old_sym, ns_arr, nl_arr, M
+        )
+    else:
+        new_len, new_sym = _expand_monolithic(
+            old_len, old_sym, ns_arr, nl_arr, M
+        )
+    new_nslot = state.nslot + n_items + used_phantom.astype(I64)
+
+    # repair tails (old garbage shifted up) and guard the envelopes
+    slot = jnp.arange(rcap, dtype=I64)
+    dead = slot >= new_nslot
+    new_len = jnp.where(dead, 0, new_len)
+    new_sym = jnp.where(dead, PAD, new_sym)
+    overflow = state.overflow \
+        + (new_nslot > rcap - KR).astype(I32) \
+        + jnp.any(new_len >= RUN_LEN_MAX).astype(I32)
+
+    rend, bstart, bocc = _rebuild_tables(new_len, new_sym, new_nslot, gdt)
+    return dict(rsym=new_sym, rend=rend, bstart=bstart, bocc=bocc,
+                nslot=new_nslot, overflow=overflow)
+
+
+def _expand_monolithic(old_len, old_sym, ns_arr, nl_arr, M):
+    rcap = old_len.shape[0]
+    is_new = ns_arr != 0
     # ---- expand old slots by the is_new prefix (log-shift ladder) ----
     c = cumsum_blocked(is_new.astype(I32))
     vo, so_ = old_len, old_sym
@@ -413,25 +463,120 @@ def apply_insertions_runs(state: RunBwt, pos, sym, stream, valid):
         )
     new_len = jnp.where(is_new, nl_arr, vo)
     new_sym = jnp.where(is_new, ns_arr - 1, so_)
+    return new_len, new_sym
 
-    n_items = jnp.sum(ic, dtype=I64)
-    # end-inserts may REPLACE the phantom host slot at nslot: it becomes
-    # live when any group targeted rix == nslot
-    used_phantom = jnp.any(ghead & live & (rix == nslot32))
-    new_nslot = state.nslot + n_items + used_phantom.astype(I64)
 
-    # repair tails (old garbage shifted up) and guard the envelopes
-    slot = jnp.arange(rcap, dtype=I64)
-    dead = slot >= new_nslot
-    new_len = jnp.where(dead, 0, new_len)
-    new_sym = jnp.where(dead, PAD, new_sym)
-    overflow = state.overflow \
-        + (new_nslot > rcap - KR).astype(I32) \
-        + jnp.any(new_len >= RUN_LEN_MAX).astype(I32)
+RUNS_BIG = 1 << 26  # slots above which the chunked expand applies
+RUNS_CHUNK = 1 << 24  # chunk size (slots) of the chunked expand
 
-    rend, bstart, bocc = _rebuild_tables(new_len, new_sym, new_nslot, gdt)
-    return dict(rsym=new_sym, rend=rend, bstart=bstart, bocc=bocc,
-                nslot=new_nslot, overflow=overflow)
+
+def _expand_chunked(old_len, old_sym, ns_arr, nl_arr, M):
+    """Backward in-place chunked insertion expand: out[p] = old[p - c(p)]
+    for non-item slots, processed one RUNS_CHUNK at a time from the TOP
+    chunk down.  The expand only moves content to HIGHER slots, so
+    writing chunk k can never clobber anything a later (lower) chunk
+    reads, and the loop carries the arrays in place — temporaries are
+    chunk-sized instead of ~19 B/slot full-width.
+
+    Per-chunk: the old source window is [kCH - S[k+1], (k+1)CH) (S =
+    exclusive per-chunk item-count prefix; window size CH + icmax, with
+    the precondition 2M <= CH so the window start stays >= 0 for k >= 1);
+    the variable gather runs as the mirrored log-shift ladder with the
+    NON-INCREASING forward shift d(p) = S[k+1] - c(p) (slope >= -1, so
+    source indices are monotone and bit-by-bit shifting is exact, the
+    reverse of index/merge_pallas.py's expand argument).  Chunk 0 uses
+    the plain backward-shift ladder on a [0, CH) window."""
+    rcap = old_len.shape[0]
+    CH = RUNS_CHUNK
+    assert rcap % CH == 0 and 2 * M <= CH
+    nch = rcap // CH
+    ibits = max(int(2 * M - 1).bit_length(), 1)
+    P = 1 << ibits  # window slack = pow2 bound on total items
+    W = CH + P
+    is_new_full = ns_arr != 0
+    chunk_items = jnp.sum(
+        is_new_full.reshape(nch, CH), axis=1, dtype=I32
+    )
+    S = jnp.concatenate(
+        [jnp.zeros(1, I32), cumsum_small(chunk_items)]
+    )
+    # tail-pad the carried arrays so the top chunk's window never makes
+    # dynamic_slice clamp (which would silently shift the window)
+    ln0 = jnp.concatenate([old_len, jnp.zeros((P,), I32)])
+    sy0 = jnp.concatenate([old_sym, jnp.full((P,), PAD, jnp.int8)])
+
+    def chunk_io(arrs, kCH):
+        nsl = jax.lax.dynamic_slice(ns_arr, (kCH,), (CH,))
+        nll = jax.lax.dynamic_slice(nl_arr, (kCH,), (CH,))
+        isn = nsl != 0
+        lp = cumsum_blocked(isn.astype(I32))  # inclusive local prefix
+        return nsl, nll, isn, lp
+
+    def body(i, carry):
+        # chunks nch-1 .. 1 backward; out[p] = old[p - c(p)] with
+        # c(p) = S[k] + lp(po); window [kCH - S[k+1], ...):
+        # source_local = po + (icr - lp(po)) — a non-increasing forward
+        # shift, slope >= -1, so sources are monotone and the bit ladder
+        # is exact (mirror of the merge expand argument)
+        k = nch - 1 - i
+        ln, sy = carry
+        kCH = k * CH
+        icr = S[k + 1] - S[k]
+        ws = kCH - S[k + 1]  # >= CH - 2M >= 0 for k >= 1
+        winl = jax.lax.dynamic_slice(ln, (ws,), (W,))
+        wins = jax.lax.dynamic_slice(sy, (ws,), (W,))
+        nsl, nll, isn, lp = chunk_io((ln, sy), kCH)
+        d = icr - lp  # in [0, icr]
+        dpad = jnp.concatenate([d, jnp.zeros((W - CH,), I32)])
+        vl, vs = winl, wins
+        for kk in range(ibits - 1, -1, -1):
+            step = 1 << kk
+            take = ((dpad >> kk) & 1) == 1
+            vl = jnp.where(
+                take,
+                jnp.concatenate([vl[step:], jnp.zeros((step,), I32)]),
+                vl,
+            )
+            vs = jnp.where(
+                take,
+                jnp.concatenate(
+                    [vs[step:], jnp.full((step,), PAD, jnp.int8)]
+                ),
+                vs,
+            )
+        out_l = jnp.where(isn, nll, vl[:CH])
+        out_s = jnp.where(isn, nsl - 1, vs[:CH])
+        ln = jax.lax.dynamic_update_slice(ln, out_l, (kCH,))
+        sy = jax.lax.dynamic_update_slice(sy, out_s, (kCH,))
+        return ln, sy
+
+    ln, sy = jax.lax.fori_loop(0, max(nch - 1, 0), body, (ln0, sy0))
+
+    # chunk 0: plain backward-shift expand on the [0, CH) window
+    # (out[po] = win[po - lp(po)])
+    nsl, nll, isn, lp = chunk_io((ln, sy), 0)
+    vl = ln[:CH]
+    vs = sy[:CH]
+    for kk in range(ibits - 1, -1, -1):
+        step = 1 << kk
+        take = ((lp >> kk) & 1) == 1
+        vl = jnp.where(
+            take,
+            jnp.concatenate([jnp.zeros((step,), I32), vl[:-step]]),
+            vl,
+        )
+        vs = jnp.where(
+            take,
+            jnp.concatenate(
+                [jnp.full((step,), PAD, jnp.int8), vs[:-step]]
+            ),
+            vs,
+        )
+    out_l = jnp.where(isn, nll, vl)
+    out_s = jnp.where(isn, nsl - 1, vs)
+    ln = jax.lax.dynamic_update_slice(ln, out_l, (0,))
+    sy = jax.lax.dynamic_update_slice(sy, out_s, (0,))
+    return ln[:rcap], sy[:rcap]
 
 
 def runs_from_arrays(syms_np, lens_np, rcap, total_symbol_bound,

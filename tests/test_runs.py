@@ -215,3 +215,41 @@ def test_growth_and_multiblock():
                     stream, valid)
         seq = oracle_insert(seq, pos, sym, stream, valid)
         check_state(st, seq)
+
+
+def test_chunked_expand_parity(monkeypatch):
+    """The chunked backward in-place expand must agree with the monolithic
+    ladder (and the oracle) across multi-chunk layouts, item clustering at
+    chunk boundaries, and the top/bottom chunks."""
+    import ropebwt2_tpu.index.runs as R
+
+    monkeypatch.setattr(R, "RUNS_BIG", 1)  # force the chunked path
+    monkeypatch.setattr(R, "RUNS_CHUNK", RCAP_ALIGN)  # 16384-slot chunks
+    rng = np.random.default_rng(17)
+    rcap = 3 * RCAP_ALIGN
+    for trial in range(4):
+        nseq = [200, 2000, 16000, 40000][trial]
+        seq = np.repeat(
+            rng.integers(0, 6, nseq), rng.integers(1, 4, nseq)
+        ).astype(np.int8)
+        st = state_from_seq(seq, rcap=rcap)
+        M = 512
+        A = int(rng.integers(M // 2, M))
+        if trial == 2:  # cluster all insertions at the end (top chunk)
+            pos_v = np.sort(
+                rng.integers(len(seq) - 50, len(seq) + 1, A)
+            )
+        else:
+            pos_v = np.sort(rng.integers(0, len(seq) + 1, A))
+        sym_v = rng.integers(0, 6, A)
+        pos = np.zeros(M, np.int64)
+        sym = np.zeros(M, np.int64)
+        stream = np.zeros(M, np.int64)
+        valid = np.zeros(M, bool)
+        pos[:A] = pos_v
+        sym[:A] = sym_v
+        stream[:A] = np.arange(A)
+        valid[:A] = True
+        st = _apply(st, pos, sym, stream, valid)
+        seq = oracle_insert(seq, pos, sym, stream, valid)
+        check_state(st, seq)
