@@ -95,6 +95,8 @@ def _state_rank2_fn(state, K, gdt):
     scale throughput path); other tiers fall back."""
     from ..index.rank import rank2_global
 
+    if os.environ.get("ROPEBWT2_TPU_RANK2", "1") == "0":
+        return None
     if isinstance(state, FlatBwt):
         def f(gl, gu):
             ol, ou = rank2_global(state.bwt, state.blk_prefix, gl, gu, K)

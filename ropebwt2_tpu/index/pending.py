@@ -396,6 +396,8 @@ def _use_pallas_pending(pcap: int, pdt) -> bool:
 
     if os.environ.get("ROPEBWT2_TPU_PALLAS", "1") == "0":
         return False
+    if os.environ.get("ROPEBWT2_TPU_PEND_PALLAS", "1") == "0":
+        return False
     from .pending_pallas import SUPER_B
 
     return (
