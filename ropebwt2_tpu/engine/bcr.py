@@ -98,11 +98,12 @@ def _state_rank2_fn(state, K, gdt):
     if os.environ.get("ROPEBWT2_TPU_RANK2", "1") == "0":
         return None
     if isinstance(state, FlatBwt):
-        def f(gl, gu):
-            ol, ou = rank2_global(state.bwt, state.blk_prefix, gl, gu, K)
-            return ol.astype(gdt), ou.astype(gdt)
-
-        return f
+        # rank2_global returns blk_prefix's dtype — the SAME dtype the
+        # single-point rank_fn returns (no cast), so the three width-cond
+        # branches of plan_round agree
+        return lambda gl, gu: rank2_global(
+            state.bwt, state.blk_prefix, gl, gu, K
+        )
     return None
 
 
