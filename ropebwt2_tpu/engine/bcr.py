@@ -360,37 +360,51 @@ def plan_round(psize, pcounts, reads: ReadStates, buf, d, is_first,
         #   else        two independent rank calls (early rounds).
         # widths are partition-local and exact in pdt; clamp before the
         # int32 cast so only the {0, <=128, >128} classification survives
-        wmax = comm.max_scalar(
-            jnp.where(
-                active,
-                jnp.minimum(U - L, jnp.asarray(1 << 20, pdt)),
-                jnp.zeros((), pdt),
-            ).astype(I32)
-        )
         gUq = poc + U
-        if rank2_fn is None:
-            def rank2_fn(a, b):  # fallback: two independent calls
-                return rank_fn(a), rank_fn(b)
-
-        def only_l():
+        if os.environ.get("ROPEBWT2_TPU_WIDTH3", "1") == "0":
+            # r04 two-regime structure (bisection / fallback): skip the
+            # U rank when all widths are zero, else two full calls
             TLr = rank_fn(gLq)
-            return TLr, jnp.zeros_like(TLr)
+            wnz = comm.max_scalar(
+                jnp.where(active, (U != L).astype(I32), 0)
+            )
+            delta = jax.lax.cond(
+                wnz == 0,
+                lambda: jnp.zeros_like(TLr),
+                lambda: rank_fn(gUq) - TLr,
+            ).astype(pdt)
+            TL = (TLr - pprefix_c).astype(pdt)
+        else:
+            wmax = comm.max_scalar(
+                jnp.where(
+                    active,
+                    jnp.minimum(U - L, jnp.asarray(1 << 20, pdt)),
+                    jnp.zeros((), pdt),
+                ).astype(I32)
+            )
+            if rank2_fn is None:
+                def rank2_fn(a, b):  # fallback: two independent calls
+                    return rank_fn(a), rank_fn(b)
 
-        def fused():
-            ol, ou = rank2_fn(gLq, gUq)
-            return ol, ou - ol
+            def only_l():
+                TLr = rank_fn(gLq)
+                return TLr, jnp.zeros_like(TLr)
 
-        def separate():
-            TLr = rank_fn(gLq)
-            return TLr, rank_fn(gUq) - TLr
+            def fused():
+                ol, ou = rank2_fn(gLq, gUq)
+                return ol, ou - ol
 
-        TLr, delta = jax.lax.cond(
-            wmax == 0,
-            only_l,
-            lambda: jax.lax.cond(wmax <= 128, fused, separate),
-        )
-        delta = delta.astype(pdt)
-        TL = (TLr - pprefix_c).astype(pdt)
+            def separate():
+                TLr = rank_fn(gLq)
+                return TLr, rank_fn(gUq) - TLr
+
+            TLr, delta = jax.lax.cond(
+                wmax == 0,
+                only_l,
+                lambda: jax.lax.cond(wmax <= 128, fused, separate),
+            )
+            delta = delta.astype(pdt)
+            TL = (TLr - pprefix_c).astype(pdt)
 
     # ---- 4. insertion points per symbol, start-of-round local coords ----
     # X[:, s] = L + sum of delta over symbols emitted before s.

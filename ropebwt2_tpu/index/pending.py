@@ -256,15 +256,12 @@ def pending_rank2(pend: PendingIndex, gl, gu):
     jc = jnp.clip(j, 0, max(nbk - 2, 0)).astype(I32)
 
     def pair_gather(arr2d, sizes):
-        return jax.lax.gather(
-            arr2d, jc[:, None],
-            jax.lax.GatherDimensionNumbers(
-                offset_dims=(1, 2), collapsed_slice_dims=(),
-                start_index_map=(0,),
-            ),
-            slice_sizes=sizes,
-            mode=jax.lax.GatherScatterMode.CLIP,
-        ).reshape(-1, 2 * _F)
+        # plain paired row indexing — the windowed lax.gather form
+        # kernel-faults inside the engine context (see rank2_global)
+        del sizes
+        return arr2d[
+            jc[:, None] + jnp.arange(2, dtype=I32)[None, :]
+        ].reshape(-1, 2 * _F)
 
     vpair = pair_gather(vp.reshape(-1, _F), (2, _F))
     spair = pair_gather(pend.psym.reshape(-1, _F), (2, _F))

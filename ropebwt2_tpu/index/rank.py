@@ -64,18 +64,15 @@ def rank2_global(bwt, blk_prefix, gl, gu, K: int):
     blk = gl // K
     nb = bwt.shape[0] // K
     blkc = jnp.clip(blk, 0, nb - 2)
-    # ONE windowed gather of (2, K) slices — the whole point vs two
-    # rank_global calls is a single 2K-byte row fetch per query
-    pair = jax.lax.gather(
-        bwt.reshape(-1, K),
-        blkc[:, None].astype(jnp.int32),
-        jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2), collapsed_slice_dims=(),
-            start_index_map=(0,),
-        ),
-        slice_sizes=(2, K),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    ).reshape(-1, 2 * K)
+    # paired row gather (two (Q,K) rows).  A single windowed (2,K)-slice
+    # lax.gather measured fine standalone but reproducibly KERNEL-FAULTS
+    # the TPU worker when executed inside the engine's fori/cond context
+    # (round-5 bisection, HACKING.md) — plain row indexing lowers safely,
+    # and the fusion still saves the second descent/table work vs two
+    # rank calls.
+    pair = bwt.reshape(-1, K)[
+        blkc[:, None] + jnp.arange(2, dtype=blkc.dtype)[None, :]
+    ].reshape(-1, 2 * K)
     j = jnp.arange(2 * K, dtype=jnp.int32)
     wl = (gl - blkc * K).astype(jnp.int32)  # gl's offset within the pair
     wu = (gu - blkc * K).astype(jnp.int32)
