@@ -95,7 +95,13 @@ def _state_rank2_fn(state, K, gdt):
     scale throughput path); other tiers fall back."""
     from ..index.rank import rank2_global
 
-    if os.environ.get("ROPEBWT2_TPU_RANK2", "1") == "0":
+    # DEFAULT OFF (round-5 negative result): with the safe paired-row
+    # gathers, the fused branch measured ~4.6 ms/round SLOWER than the
+    # two-call fallback at the 47x-coverage scale shapes (bisect D vs E,
+    # HACKING.md) — the width<=128 regime fires too rarely under a
+    # batch-max predicate to amortize its extra compute.  Env-gated for
+    # future per-query-masked variants.
+    if os.environ.get("ROPEBWT2_TPU_RANK2", "0") == "0":
         return None
     if isinstance(state, FlatBwt):
         # rank2_global returns blk_prefix's dtype — the SAME dtype the
