@@ -910,9 +910,13 @@ class TpuBwt:
             syms = np.zeros(0, np.int8)
             lens = np.zeros(0, np.int64)
         self._nslot_bound = len(syms)
+        from ..index.runs import RUNS_BIG, RUNS_CHUNK
+
         rcap = _round_up(
             len(syms) + max(len(syms) // 4, RCAP_ALIGN), RCAP_ALIGN
         )
+        if rcap >= RUNS_BIG:
+            rcap = _round_up(rcap, RUNS_CHUNK)
         self.state = runs_from_arrays(
             syms, lens, rcap, total_bound, self._n,
             np.asarray(self.state.psize), np.asarray(self.state.pcounts),
@@ -979,9 +983,14 @@ class TpuBwt:
             assert int(st.overflow) == 0, "run-tier envelope breached"
             slots_needed = self._nslot_bound + int(f * extra) + 2048
             if slots_needed > st.rcap:
+                from ..index.runs import RUNS_BIG, RUNS_CHUNK
+
                 new_rcap = _round_up(
                     slots_needed + slots_needed // 4, RCAP_ALIGN
                 )
+                if new_rcap >= RUNS_BIG:
+                    # chunked-expand alignment (runs.py gate)
+                    new_rcap = _round_up(new_rcap, RUNS_CHUNK)
                 self.state = grow_runs_state(st, new_rcap)
 
     def _plan(self, extra_symbols: int):

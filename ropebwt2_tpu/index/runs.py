@@ -414,7 +414,8 @@ def apply_insertions_runs(state: RunBwt, pos, sym, stream, valid):
     old_len, old_sym, ns_arr, nl_arr, n_items, used_phantom = _plan_items(
         state, pos, sym, stream, valid
     )
-    if rcap >= RUNS_BIG and 2 * M <= RUNS_CHUNK:
+    if (rcap >= RUNS_BIG and 2 * M <= RUNS_CHUNK
+            and rcap % RUNS_CHUNK == 0):
         new_len, new_sym = _expand_chunked(
             old_len, old_sym, ns_arr, nl_arr, M
         )
@@ -466,7 +467,10 @@ def _expand_monolithic(old_len, old_sym, ns_arr, nl_arr, M):
     return new_len, new_sym
 
 
-RUNS_BIG = 1 << 26  # slots above which the chunked expand applies
+import os as _os
+
+RUNS_BIG = int(_os.environ.get("ROPEBWT2_TPU_RUNS_BIG", 1 << 26))
+# ^ slots above which the chunked expand applies (env override for tests)
 RUNS_CHUNK = 1 << 24  # chunk size (slots) of the chunked expand
 
 
