@@ -80,6 +80,7 @@ def inner():
     )
     # batch-regime reads reused across timed runs; sustained batches drawn
     # fresh (a prefilled coverage index must not see literal repeats)
+    rng = np.random.default_rng(1)  # query-stage positions/patterns
     reads = gen.batch(M).view(np.int8)
     syms = M * (L + 1)
     dev = jax.devices()[0]
