@@ -976,6 +976,13 @@ class TpuBwt:
             st = _dc.replace(st, rend=rend, bstart=bstart, bocc=bocc)
             self.state = st
         f = self._runs_margin()
+        # a YOUNG index has no duplicate-suffix structure yet: early
+        # batches split nearly every insertion (~2 slots each), so the
+        # compressibility margin only applies once the index holds at
+        # least a batch worth of slots; the sticky overflow flag remains
+        # the correctness backstop either way
+        if self._nslot_bound < extra:
+            f = max(f, 2.0)
         slots_needed = self._nslot_bound + int(f * extra) + 2048
         if slots_needed > st.rcap:
             # tighten the bound with one scalar pull before growing

@@ -417,7 +417,8 @@ def apply_insertions_runs(state: RunBwt, pos, sym, stream, valid):
     if (rcap >= RUNS_BIG and 2 * M <= RUNS_CHUNK
             and rcap % RUNS_CHUNK == 0):
         new_len, new_sym = _expand_chunked(
-            old_len, old_sym, ns_arr, nl_arr, M
+            old_len, old_sym, ns_arr, nl_arr, M,
+            live_slots=state.nslot + 2 * jnp.asarray(M, I64),
         )
     else:
         new_len, new_sym = _expand_monolithic(
@@ -474,7 +475,7 @@ RUNS_BIG = int(_os.environ.get("ROPEBWT2_TPU_RUNS_BIG", 1 << 26))
 RUNS_CHUNK = 1 << 24  # chunk size (slots) of the chunked expand
 
 
-def _expand_chunked(old_len, old_sym, ns_arr, nl_arr, M):
+def _expand_chunked(old_len, old_sym, ns_arr, nl_arr, M, live_slots=None):
     """Backward in-place chunked insertion expand: out[p] = old[p - c(p)]
     for non-item slots, processed one RUNS_CHUNK at a time from the TOP
     chunk down.  The expand only moves content to HIGHER slots, so
@@ -554,7 +555,19 @@ def _expand_chunked(old_len, old_sym, ns_arr, nl_arr, M):
         sy = jax.lax.dynamic_update_slice(sy, out_s, (kCH,))
         return ln, sy
 
-    ln, sy = jax.lax.fori_loop(0, max(nch - 1, 0), body, (ln0, sy0))
+    # only chunks holding live content need processing (rcap carries
+    # allocation slack; slots past nslot + items are INF/PAD either way
+    # and the caller's tail repair renormalizes them)
+    if live_slots is None:
+        nch_live = nch
+    else:
+        nch_live = jnp.clip(
+            (live_slots.astype(I64) + CH - 1) // CH, 1, nch
+        ).astype(I32)
+    ln, sy = jax.lax.fori_loop(
+        0, jnp.maximum(nch_live - 1, 0),
+        lambda i, c: body(i + (nch - nch_live), c), (ln0, sy0),
+    )
 
     # chunk 0: plain backward-shift expand on the [0, CH) window
     # (out[po] = win[po - lp(po)])
