@@ -29,7 +29,7 @@ def build_fns():
     import jax.numpy as jnp
 
     def xla_fn(x):
-        return (x * 2 + jnp.cumsum(x)).sum()
+        return (x * 2 + jnp.cumsum(x, axis=0)).sum()
 
     def pallas_fn(x):
         from jax.experimental import pallas as pl
