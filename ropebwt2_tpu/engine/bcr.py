@@ -1131,17 +1131,19 @@ class TpuBwt:
         assert self._n_strings < (1 << 31)
         blob = np.concatenate([packed, scal.view(np.uint8)])
         defer_r, pcap = self._choose_defer(mpad)
-        state, _ = bcr_batch_uniform(
-            self.state,
-            jnp.asarray(blob),
-            K=self.K,
-            so=self.so,
-            mpad=mpad,
-            L=L,
-            stride=stride,
-            defer_r=defer_r,
-            pcap=pcap,
-        )
+        kw = dict(K=self.K, so=self.so, mpad=mpad, L=L, stride=stride,
+                  defer_r=defer_r, pcap=pcap)
+        from . import aot
+
+        if aot.enabled():
+            state, _ = aot.cached_call(
+                bcr_batch_uniform, "bcr_batch_uniform", kw,
+                self.state, jnp.asarray(blob),
+            )
+        else:
+            state, _ = bcr_batch_uniform(
+                self.state, jnp.asarray(blob), **kw
+            )
         self.state = state
         self._n += total
         self._n_strings += m
