@@ -29,7 +29,13 @@ _loaded = {}
 
 
 def enabled() -> bool:
-    return os.environ.get("ROPEBWT2_TPU_AOT", "0") == "1"
+    """Opt-in, and only for single-device processes: serialized
+    executables capture device assignments/shardings, and the virtual
+    multi-device CPU meshes used in tests (and any multi-chip run) must
+    not round-trip through a single-device cache entry."""
+    if os.environ.get("ROPEBWT2_TPU_AOT", "0") != "1":
+        return False
+    return len(jax.devices()) == 1
 
 
 def _key(name, static_kwargs, args):
@@ -38,7 +44,9 @@ def _key(name, static_kwargs, args):
     h.update(repr(sorted(static_kwargs.items())).encode())
     for a in jax.tree_util.tree_leaves(args):
         h.update(f"{a.shape}/{a.dtype};".encode())
-    h.update(jax.devices()[0].device_kind.encode())
+    h.update(
+        f"{jax.devices()[0].device_kind}/{len(jax.devices())}".encode()
+    )
     return h.hexdigest()[:32]
 
 

@@ -1231,11 +1231,21 @@ class TpuBwt:
             d = 0
             while d < rounds:
                 hi = min(d + chunk, rounds)
-                st, rs = bcr_batch_range(
-                    st, rs, jbuf,
-                    jnp.asarray(d, I64), jnp.asarray(hi, I64),
-                    K=self.K, so=self.so, defer_r=defer_r, pcap=pcap,
-                )
+                kw = dict(K=self.K, so=self.so, defer_r=defer_r,
+                          pcap=pcap)
+                from . import aot
+
+                if aot.enabled():
+                    st, rs = aot.cached_call(
+                        bcr_batch_range, "bcr_batch_range", kw,
+                        st, rs, jbuf,
+                        jnp.asarray(d, I64), jnp.asarray(hi, I64),
+                    )
+                else:
+                    st, rs = bcr_batch_range(
+                        st, rs, jbuf,
+                        jnp.asarray(d, I64), jnp.asarray(hi, I64), **kw
+                    )
                 d = hi
             state = st
         elif (
@@ -1255,16 +1265,19 @@ class TpuBwt:
             half = buf.shape[0] // 2
             pbuf = (buf[:half] << 4) | buf[half:]
             defer_r, pcap = self._choose_defer(mpad)
-            state, _ = bcr_batch_packed(
-                self.state,
-                jnp.asarray(meta),
-                jnp.asarray(pbuf),
-                K=self.K,
-                so=self.so,
-                mpad=mpad,
-                defer_r=defer_r,
-                pcap=pcap,
-            )
+            kw = dict(K=self.K, so=self.so, mpad=mpad, defer_r=defer_r,
+                      pcap=pcap)
+            from . import aot
+
+            if aot.enabled():
+                state, _ = aot.cached_call(
+                    bcr_batch_packed, "bcr_batch_packed", kw,
+                    self.state, jnp.asarray(meta), jnp.asarray(pbuf),
+                )
+            else:
+                state, _ = bcr_batch_packed(
+                    self.state, jnp.asarray(meta), jnp.asarray(pbuf), **kw
+                )
         else:
             rs = ReadStates(
                 l=jnp.asarray(l),
