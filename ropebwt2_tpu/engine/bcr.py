@@ -975,6 +975,21 @@ class TpuBwt:
             )
             st = _dc.replace(st, rend=rend, bstart=bstart, bocc=bocc)
             self.state = st
+        # explicit slot preallocation (ROPEBWT2_TPU_RUNS_RCAP): the run
+        # count of a build is a data property the driver cannot predict
+        # (compressibility), and growing rcap mid-build recompiles the
+        # batch program each time — scale drivers size it upfront like
+        # the reference's -m sizes its batch
+        hint = int(os.environ.get("ROPEBWT2_TPU_RUNS_RCAP", "0"))
+        if hint > 0:
+            if hint > st.rcap:
+                from ..index.runs import RUNS_BIG, RUNS_CHUNK
+
+                rc = _round_up(hint, RCAP_ALIGN)
+                if rc >= RUNS_BIG:
+                    rc = _round_up(rc, RUNS_CHUNK)
+                self.state = grow_runs_state(st, rc)
+            return  # operator-managed capacity; overflow flag is the backstop
         f = self._runs_margin()
         # a YOUNG index has no duplicate-suffix structure yet: early
         # batches split nearly every insertion (~2 slots each), so the
