@@ -1053,7 +1053,19 @@ class TpuBwt:
                 self.state = packed_from_flat(self.state, new_cap)
             return
         if need > cap:
-            cap = _round_up(_pad_pow2(need, lo=self.K), self.K)
+            from ..index import merge_pallas as _mp
+
+            if need >= 4 * cap and need >= (1 << 24):
+                # UPFRONT plan (a caller pre-sizing a whole build):
+                # LINEAR rounding, not pow2 — rank-gather locality tracks
+                # the ALLOCATION span (the block table covers cap/K rows
+                # regardless of n), and pow2 padding up to doubles it
+                # (round-5 finding: cap-2^30 batch walls exceed cap-2^28
+                # walls at equal n).  Pow2 stays for incremental growth,
+                # where re-jit amortization dominates.
+                cap = _round_up(need, max(_mp.SUPER_B, self.K))
+            else:
+                cap = _round_up(_pad_pow2(need, lo=self.K), self.K)
             self.state = grow_state(self.state, cap, self.K)
 
     # --- the public insertion API ---
